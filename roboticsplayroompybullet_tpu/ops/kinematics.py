@@ -117,7 +117,8 @@ def _orientation_error(q_cur, q_des):
     return 2.0 * dq[..., :3]
 
 
-@partial(jax.jit, static_argnames=("tree", "site", "iters", "n_active"))
+@partial(jax.jit, static_argnames=("site", "iters", "n_active",
+                                   "damping", "null_gain"))
 def ik_dls(tree: KineTree, q0: jnp.ndarray, target_pos: jnp.ndarray,
            target_quat: jnp.ndarray, rest_pose: jnp.ndarray,
            site: int = 0, iters: int = 12, n_active: int = None,
