@@ -225,6 +225,14 @@ def build_tree(data_mod, base_pos, base_rpy, sites: Dict[str, int],
                        [-fcom[r, 1], fcom[r, 0], 0]])
         fI_com[r] = fI[r] + fmass[r] * (cx @ cx)
 
+    # mass/inertia floors ("armature"): several Robotiq linkage links carry
+    # ZERO mass in the reference URDF (ur5e2.urdf); a zero articulated
+    # inertia makes ABA's D_i → 0 and the servo/impulse math singular.
+    # Bullet papers over this inside its importer; we floor explicitly.
+    MASS_FLOOR, INERTIA_FLOOR = 0.05, 2e-5
+    fmass = np.maximum(fmass, MASS_FLOOR)
+    fI_com = fI_com + np.eye(3) * INERTIA_FLOOR
+
     pre_pos = np.stack([joints[i]["_pre"][0] for i in red_ids])
     pre_quat = np.stack([joints[i]["_pre"][1] for i in red_ids])
     axis = np.stack([np.asarray(joints[i]["axis"], dtype=np.float64) for i in red_ids])

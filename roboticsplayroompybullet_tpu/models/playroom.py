@@ -117,8 +117,13 @@ def push_scene(n_blocks: int = 1) -> Scene:
 def complex_scene(n_blocks: int = 1) -> Scene:
     """The playroom (scenes.py:46-85): statics + door/drawer/button/dial."""
     statics = [
-        # tabletop / cabinet (add_static, scenes.py:103-114)
-        ([0.0, 0.25, -0.03], [0.35, 0.28, 0.005], 1.0),   # tabletop
+        # tabletop / cabinet (add_static, scenes.py:103-114). The tabletop
+        # is thickened downward (top surface unchanged at z=-0.025) so
+        # impacting corners can't cross the slab mid-plane and flip the
+        # vertex-contact pushout normal; the extra depth stays clear of the
+        # drawer volume (top at z=-0.04 … bottom -0.049 only meets blocks
+        # riding impossibly high in the drawer).
+        ([0.0, 0.25, -0.037], [0.35, 0.28, 0.012], 1.0),  # tabletop
         ([0.0, 0.52, 0.00], [0.35, 0.01, 0.235], 1.0),    # cabinet back
         ([0.0, 0.45, 0.24], [0.37, 0.065, 0.005], 1.0),   # cabinet top
         ([-0.34, 0.45, 0.0], [0.03, 0.065, 0.235], 1.0),  # cabinet side
