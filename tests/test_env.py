@@ -1,0 +1,161 @@
+"""End-to-end env tests: obs layouts, determinism, state injection, stepping.
+
+Keep the number of DISTINCT env configs small — each one compiles its own
+XLA program (slow on the 1-core CI host). Reach + play cover the layout
+space; deeper physics behavior is exercised in test_physics.py.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import roboticsplayroompybullet_tpu as rp
+
+
+@pytest.fixture(scope="module")
+def reach():
+    return rp.make("UR5Reach-v0", seed=0)
+
+
+@pytest.fixture(scope="module")
+def play():
+    return rp.make("UR5PlayAbsRPY1Obj-v0", seed=0)
+
+
+def test_catalog_complete():
+    """All 19 live registrations of the reference exist
+    (roboticsPlayroomPybullet/__init__.py:3-99 minus the dead pointMass3D)."""
+    expected = {
+        "pandaReach-v0", "pandaReach2D-v0", "pandaPush-v0", "pandaPick-v0",
+        "pandaPlay-v0", "pandaPlay1Obj-v0", "pandaPlayRel1Obj-v0",
+        "pandaPlayJoints-v0", "pandaPlayRelJoints1Obj-v0",
+        "pandaPlayAbsJoints1Obj-v0", "pandaPlayAbsRPY1Obj-v0",
+        "pandaPlayRelRPY1Obj-v0", "UR5Reach-v0", "UR5Play1Obj-v0",
+        "UR5PlayRel1Obj-v0", "UR5PlayRelJoints1Obj-v0",
+        "UR5PlayAbsJoints1Obj-v0", "UR5PlayAbsRPY1Obj-v0",
+        "UR5PlayRelRPY1Obj-v0",
+    }
+    assert expected == set(rp.ENV_IDS)
+
+
+def test_reach_obs_layout(reach):
+    """UR5Reach: no objects, velocity on, no orientation
+    (environments.py:804-839)."""
+    obs = reach.reset()
+    assert obs["obs_quat"].shape == (7,)      # pos3 + vel3 + grip1
+    assert obs["achieved_goal"].shape == (3,)
+    assert obs["desired_goal"].shape == (3,)
+    assert obs["controllable_achieved_goal"].shape == (4,)
+    assert obs["full_positional_state"].shape == (4,)
+    assert obs["joints"].shape == (8,)
+    assert obs["velocity"].shape == (6,)
+    # ag == ee pos for reach
+    np.testing.assert_allclose(obs["achieved_goal"],
+                               obs["controllable_achieved_goal"][:3],
+                               atol=1e-6)
+
+
+def test_reach_reset_not_solved(reach):
+    """reset loops until not already successful (environments.py:179-186)."""
+    for _ in range(3):
+        obs = reach.reset()
+        r = reach.compute_reward(obs["achieved_goal"], obs["desired_goal"])
+        assert float(r) <= -1.0 or float(r) < -0.05
+
+
+def test_reach_step_returns(reach):
+    obs = reach.reset()
+    a = np.zeros(reach.action_space.shape, np.float32)
+    obs, r, done, info = reach.step(a)
+    assert done is False                       # environments.py:212
+    assert "is_success" in info and "target_poses" in info
+    assert info["target_poses"].shape == (6,)
+
+
+def test_reach_moves_toward_command(reach):
+    obs = reach.reset()
+    start = obs["achieved_goal"].copy()
+    target = start + np.array([0.0, 0.0, 0.08], np.float32)
+    a = np.concatenate([target, [np.pi, 0, 0], [0.0]]).astype(np.float32)
+    for _ in range(20):
+        obs, r, d, i = reach.step(a)
+    err = np.linalg.norm(obs["achieved_goal"] - target)
+    assert err < 0.03, (start, target, obs["achieved_goal"])
+
+
+def test_play_obs_layout(play):
+    obs = play.reset()
+    assert obs["obs_quat"].shape == (19,)      # 8 arm + 7 obj + 4 scalars
+    assert obs["observation"].shape == (18,)   # quat→euler re-encode
+    assert obs["achieved_goal"].shape == (11,)
+    assert obs["desired_goal"].shape == (11,)
+    assert obs["full_positional_state"].shape == (19,)
+    # ag layout: block pos/quat then drawer/door/button/dial
+    # (playRewardFunc.py:9-14); articulated elements start at defaults
+    # except the button (sprung toward 0.03, scenes.py:238)
+    ag = obs["achieved_goal"]
+    assert abs(ag[7]) < 0.02     # drawer y ≈ 0
+    assert abs(ag[8]) < 0.02     # door ≈ 0
+    assert 0.0 <= ag[9] <= 0.035  # button near its sprung target
+    quat = ag[3:7]
+    np.testing.assert_allclose(np.linalg.norm(quat), 1.0, atol=1e-3)
+
+
+def test_play_block_settles_on_table(play):
+    obs = play.reset()
+    a = np.concatenate([obs["controllable_achieved_goal"][:3] + [0, 0, 0.1],
+                        [np.pi, 0, 0], [0.0]]).astype(np.float32)
+    for _ in range(15):
+        obs, r, d, i = play.step(a)
+    z = obs["achieved_goal"][2]
+    # table top at -0.025, block half-height 0.025 → resting center ≈ 0
+    assert -0.02 < z < 0.02, z
+    s = play.state
+    assert np.abs(np.asarray(s.obj_vel)).max() < 0.1
+
+
+def test_play_goal_is_perturbed_ag(play):
+    """Play goal = achieved goal with ONE perturbed dim
+    (environments.py:511-516)."""
+    obs = play.reset()
+    diff = np.abs(obs["desired_goal"] - obs["achieved_goal"])
+    assert (diff > 1e-4).sum() <= 2   # one perturbed dim (quat may renorm)
+
+
+def test_state_injection_roundtrip(play):
+    """reset(o) restores arm + object state (environments.py:173, 542-556):
+    obs layout quirk — object pos read from o[11:14]."""
+    obs1 = play.reset()
+    o = np.zeros(18, np.float32)
+    o[0:3] = [0.0, 0.2, 0.1]          # arm target pos
+    o[3:7] = [0, 0, 0, 1.0]           # arm orn
+    o[11:14] = [0.1, 0.15, 0.0]       # object pos (index 11, use_orientation)
+    o[14:18] = [0, 0, 0, 1.0]
+    obs2 = play.reset(o=o)
+    np.testing.assert_allclose(obs2["achieved_goal"][:3], o[11:14], atol=1e-3)
+    np.testing.assert_allclose(obs2["controllable_achieved_goal"][:3],
+                               o[0:3], atol=0.02)
+
+
+def test_determinism(reach):
+    reach.seed(123)
+    obs1 = reach.reset()
+    a = np.array([0.1, 0.2, 0.1, np.pi, 0, 0, 0], np.float32)
+    obs1b, r1, _, _ = reach.step(a)
+    reach.seed(123)
+    obs2 = reach.reset()
+    obs2b, r2, _, _ = reach.step(a)
+    np.testing.assert_allclose(obs1["obs_quat"], obs2["obs_quat"], atol=1e-6)
+    np.testing.assert_allclose(obs1b["obs_quat"], obs2b["obs_quat"],
+                               atol=1e-6)
+    assert r1 == r2
+
+
+def test_batched_env_matches_shapes():
+    env = rp.make("UR5Reach-v0", batch_size=4, seed=0)
+    obs = env.reset()
+    assert obs["obs_quat"].shape == (4, 7)
+    a = jnp.zeros((4, 7), jnp.float32)
+    obs, r, done, info = env.step(a)
+    assert r.shape == (4,)
+    assert obs["achieved_goal"].shape == (4, 3)
