@@ -293,6 +293,20 @@ def reset(m: EnvModel, rng, o: Optional[jnp.ndarray] = None
 # step
 # ---------------------------------------------------------------------------
 
+def step_physics_only(m: EnvModel, state: EnvState,
+                      action: jnp.ndarray) -> EnvState:
+    """Light control step: clip → control → 12 substeps. Skips observation
+    assembly and the continuity buffers — the MPC rollout hot path
+    (scoring needs only achieved_goal/reward, computed by the caller)."""
+    cfg = m.cfg
+    high = jnp.asarray(cfg.action_high, jnp.float32)
+    action = jnp.clip(action, -high, high)
+    targets, grip, _ = control(m, state, action)
+    state = state.replace(ctrl_q=targets, grip=grip)
+    state = physics.run_simulation(cfg, m.tree, m.arm, m.scene, state)
+    return state.replace(t=state.t + 1)
+
+
 def step(m: EnvModel, state: EnvState, action: jnp.ndarray):
     """One 25 Hz control step. Returns (state', obs, reward, info)."""
     cfg = m.cfg

@@ -123,6 +123,31 @@ def _flip_quats(vec, last, pairs):
     return vec
 
 
+def achieved_goal(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
+                  state: EnvState) -> jnp.ndarray:
+    """Achieved goal only — the light path for MPC rollout scoring.
+
+    Identical layouts to `calc_obs`'s 'achieved_goal' (environments.py:
+    816-835) minus the sign-continuity filter (irrelevant for distance
+    costs, which normalize quats before comparing)."""
+    if cfg.play:
+        ag_parts = []
+        for o in range(cfg.num_objects):
+            ag_parts += [state.obj_pos[o], state.obj_quat[o]]
+        ag_parts.append(environment_scalars(state))
+        return jnp.concatenate(ag_parts)
+    if cfg.num_objects > 0:
+        ag_parts = []
+        for o in range(cfg.num_objects):
+            ag_parts.append(state.obj_pos[o])
+            if cfg.use_orientation:
+                ag_parts.append(state.obj_quat[o])
+        return jnp.concatenate(ag_parts)
+    kin = dyn.fk_vel(tree, state.q, state.qd)
+    pos, _, _, _ = ee_state(tree, arm, kin)
+    return pos
+
+
 def calc_obs(cfg: EnvConfig, tree: KineTree, arm: ArmConfig, scene: Scene,
              state: EnvState) -> Dict[str, jnp.ndarray]:
     """Full observation dict; also returns the updated continuity buffers

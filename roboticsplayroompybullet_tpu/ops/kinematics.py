@@ -77,6 +77,22 @@ def _ancestor_mask(tree: KineTree, link: int, n: int):
     return mask
 
 
+def site_pose_and_jacobian(tree: KineTree, q: jnp.ndarray, site: int):
+    """(site pos, site quat, geometric Jacobian) sharing ONE fk_links sweep
+    — the IK inner loop calls this instead of fk_site + jacobian_site,
+    halving the sequential FK chain per iteration."""
+    lp, lq = fk_links(tree, q)
+    par = tree.site_parent[site]  # static int
+    if par < 0:
+        pp, pq = tree.base_pos, tree.base_quat
+    else:
+        pp, pq = lp[par], lq[par]
+    xp, xq = sp.transform_compose(pp, pq, tree.site_pos[site],
+                                  tree.site_quat[site])
+    J = _jacobian_from_links(tree, q, lp, lq, par, xp)
+    return xp, xq, J
+
+
 def jacobian_site(tree: KineTree, q: jnp.ndarray, site: int) -> jnp.ndarray:
     """Geometric Jacobian (6, n_dof) of a site: rows [lin(3), ang(3)].
 
@@ -88,6 +104,13 @@ def jacobian_site(tree: KineTree, q: jnp.ndarray, site: int) -> jnp.ndarray:
         return jnp.zeros((6, tree.n_dof), dtype=q.dtype)
     xp, _ = sp.transform_compose(lp[par], lq[par],
                                  tree.site_pos[site], tree.site_quat[site])
+    return _jacobian_from_links(tree, q, lp, lq, par, xp)
+
+
+def _jacobian_from_links(tree: KineTree, q, lp, lq, par: int,
+                         xp) -> jnp.ndarray:
+    if par < 0:
+        return jnp.zeros((6, tree.n_dof), dtype=q.dtype)
     mask = _ancestor_mask(tree, par, tree.n_dof)
     cols = []
     for i in range(tree.n_dof):
@@ -137,10 +160,10 @@ def ik_dls(tree: KineTree, q0: jnp.ndarray, target_pos: jnp.ndarray,
     active = jnp.arange(n) < n_active
 
     def body(q, _):
-        pos, quat = fk_site(tree, q, site)
+        pos, quat, J = site_pose_and_jacobian(tree, q, site)
         err = jnp.concatenate([target_pos - pos,
                                _orientation_error(quat, target_quat)])
-        J = jacobian_site(tree, q, site) * active[None, :]
+        J = J * active[None, :]
         JJt = J @ J.T + (damping ** 2) * jnp.eye(6, dtype=q.dtype)
         dq = J.T @ jnp.linalg.solve(JJt, err)
         # nullspace pull toward rest pose

@@ -1,0 +1,10 @@
+"""Sampling + gradient MPC solvers over differentiable rollouts."""
+from .cost import CostWeights, goal_distance, trajectory_cost
+from .mpc import (MPCConfig, PlanState, init_plan, shift_plan, plan,
+                  make_sharded_planner, mpc_rollout)
+
+__all__ = [
+    "CostWeights", "goal_distance", "trajectory_cost",
+    "MPCConfig", "PlanState", "init_plan", "shift_plan", "plan",
+    "make_sharded_planner", "mpc_rollout",
+]

@@ -1,0 +1,213 @@
+"""Sampling MPC (MPPI / CEM) over batched `lax.scan` rollouts.
+
+This is the subsystem the reference never had (SURVEY.md §2.3: no solver,
+no parallelism): a receding-horizon controller that scores thousands of
+candidate action sequences per replan by `vmap`ing the physics rollout,
+sharded over the device mesh with elite/weight statistics reduced via
+`psum` / `all_gather` collectives riding ICI (BASELINE.json north star).
+
+Two update rules, both pure functions:
+  * MPPI — softmax-weighted mean over ALL samples (global logsumexp via
+    pmax + psum; no sample data ever crosses devices, only (pop,)-sized
+    score moments).
+  * CEM  — global elite threshold via an all_gather of scores (tiny:
+    pop floats), then masked psum moments.
+
+Horizon stays device-local (`lax.scan`); only the population axis shards.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..envs import core
+from ..envs.core import EnvModel
+from ..envs.obs import achieved_goal
+from ..envs.rewards import compute_reward
+from ..envs.state import EnvState
+from ..parallel.rollout import rollout as _rollout_fn
+from ..parallel.mesh import mesh_size
+from .cost import CostWeights, trajectory_cost
+
+
+class MPCConfig(NamedTuple):
+    horizon: int = 40
+    pop: int = 512              # global population per replan iteration
+    iters: int = 3              # CEM/MPPI refinement iterations per replan
+    elite_frac: float = 0.1     # CEM
+    temperature: float = 0.05   # MPPI
+    sigma_init: float = 0.25
+    sigma_min: float = 0.02
+    smooth: float = 0.7         # AR(1) coefficient for time-correlated noise
+    algorithm: str = "mppi"     # "mppi" | "cem"
+    weights: CostWeights = CostWeights()
+
+
+class PlanState(NamedTuple):
+    mean: jnp.ndarray           # (H, A) current nominal action sequence
+    sigma: jnp.ndarray          # (H, A) current stddev
+
+
+def init_plan(m: EnvModel, cfg: MPCConfig) -> PlanState:
+    A = m.cfg.action_dim
+    return PlanState(mean=jnp.zeros((cfg.horizon, A), jnp.float32),
+                     sigma=jnp.full((cfg.horizon, A), cfg.sigma_init,
+                                    jnp.float32))
+
+
+def shift_plan(plan: PlanState, cfg: MPCConfig) -> PlanState:
+    """Receding-horizon warm start: drop step 0, repeat the tail."""
+    mean = jnp.concatenate([plan.mean[1:], plan.mean[-1:]], axis=0)
+    sigma = jnp.maximum(plan.sigma, cfg.sigma_min)
+    return PlanState(mean, sigma)
+
+
+def _sample(key, plan: PlanState, cfg: MPCConfig, n: int,
+            high: jnp.ndarray) -> jnp.ndarray:
+    """n time-correlated Gaussian action sequences, clipped to bounds."""
+    H, A = plan.mean.shape
+    noise = jax.random.normal(key, (n, H, A), jnp.float32)
+
+    def ar1(prev, eps):
+        e = cfg.smooth * prev + jnp.sqrt(1.0 - cfg.smooth ** 2) * eps
+        return e, e
+
+    _, corr = jax.lax.scan(ar1, jnp.zeros((n, A)),
+                           jnp.swapaxes(noise, 0, 1))
+    corr = jnp.swapaxes(corr, 0, 1)                       # (n, H, A)
+    acts = plan.mean[None] + plan.sigma[None] * corr
+    # candidate 0 carries the unperturbed warm start (standard MPPI trick)
+    acts = acts.at[0].set(plan.mean)
+    return jnp.clip(acts, -high[None, None], high[None, None])
+
+
+def _score(m: EnvModel, cfg: MPCConfig, state: EnvState,
+           actions: jnp.ndarray) -> jnp.ndarray:
+    """(n, H, A) candidates → (n,) costs, all from the same start state."""
+    def one(acts):
+        _, _, ags = _rollout_fn(m, state, acts)
+        return trajectory_cost(m.cfg, ags, state.goal, acts, cfg.weights)
+    return jax.vmap(one)(actions)
+
+
+def _mppi_update(plan: PlanState, cfg: MPCConfig, actions, costs,
+                 axis: Optional[str]) -> PlanState:
+    if axis is None:
+        best = jnp.min(costs)
+    else:
+        best = jax.lax.pmin(jnp.min(costs), axis)
+    w = jnp.exp(-(costs - best) / cfg.temperature)        # (n_local,)
+    wsum = jnp.sum(w)
+    wact = jnp.einsum("n,nha->ha", w, actions)
+    if axis is not None:
+        wsum = jax.lax.psum(wsum, axis)
+        wact = jax.lax.psum(wact, axis)
+    mean = wact / jnp.maximum(wsum, 1e-9)
+    return PlanState(mean=mean, sigma=plan.sigma)
+
+
+def _cem_update(plan: PlanState, cfg: MPCConfig, actions, costs,
+                axis: Optional[str]) -> PlanState:
+    k = max(1, int(cfg.pop * cfg.elite_frac))
+    if axis is None:
+        all_costs = costs
+    else:
+        all_costs = jax.lax.all_gather(costs, axis, tiled=True)   # (pop,)
+    thresh = -jax.lax.top_k(-all_costs, k)[0][-1]         # kth-smallest cost
+    w = jnp.asarray(costs <= thresh, jnp.float32)
+    wsum = jnp.sum(w)
+    wact = jnp.einsum("n,nha->ha", w, actions)
+    wsq = jnp.einsum("n,nha->ha", w, jnp.square(actions))
+    if axis is not None:
+        wsum = jax.lax.psum(wsum, axis)
+        wact = jax.lax.psum(wact, axis)
+        wsq = jax.lax.psum(wsq, axis)
+    wsum = jnp.maximum(wsum, 1.0)
+    mean = wact / wsum
+    var = jnp.maximum(wsq / wsum - jnp.square(mean), 0.0)
+    sigma = jnp.maximum(jnp.sqrt(var), cfg.sigma_min)
+    return PlanState(mean=mean, sigma=sigma)
+
+
+def _plan_iters(m: EnvModel, cfg: MPCConfig, state: EnvState,
+                plan: PlanState, key, n_local: int,
+                axis: Optional[str]) -> Tuple[PlanState, jnp.ndarray]:
+    high = jnp.asarray(m.cfg.action_high, jnp.float32)
+    update = _mppi_update if cfg.algorithm == "mppi" else _cem_update
+
+    def body(carry, k):
+        pl = carry
+        acts = _sample(k, pl, cfg, n_local, high)
+        costs = _score(m, cfg, state, acts)
+        pl = update(pl, cfg, acts, costs, axis)
+        best = jnp.min(costs)
+        if axis is not None:
+            best = jax.lax.pmin(best, axis)
+        return pl, best
+
+    keys = jax.random.split(key, cfg.iters)
+    plan, bests = jax.lax.scan(body, plan, keys)
+    return plan, bests[-1]
+
+
+def plan(m: EnvModel, cfg: MPCConfig, state: EnvState, plan_state: PlanState,
+         key) -> Tuple[PlanState, jnp.ndarray]:
+    """Single-device replan: refine the nominal sequence from `state`.
+    Returns (new plan, best rollout cost)."""
+    return _plan_iters(m, cfg, state, plan_state, key, cfg.pop, axis=None)
+
+
+def make_sharded_planner(m: EnvModel, cfg: MPCConfig, mesh):
+    """Replan with the population sharded over every mesh axis.
+
+    State and plan are replicated; each shard draws its own noise (key
+    folded with its linearized mesh coordinate) and only score moments
+    cross the interconnect."""
+    n_dev = mesh_size(mesh)
+    assert cfg.pop % n_dev == 0, (cfg.pop, n_dev)
+    n_local = cfg.pop // n_dev
+    axes = mesh.axis_names
+    rep = P()
+
+    @partial(shard_map, mesh=mesh, in_specs=(rep, rep, rep),
+             out_specs=(rep, rep), check_rep=False)
+    def _plan(state, plan_state, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        key = jax.random.fold_in(key, idx)
+        # reductions over the flattened mesh = sequential over all axes
+        pl, best = _plan_iters(m, cfg, state, plan_state, key, n_local,
+                               axis=axes if len(axes) > 1 else axes[0])
+        return pl, best
+
+    return jax.jit(_plan)
+
+
+def mpc_rollout(m: EnvModel, cfg: MPCConfig, state: EnvState, key,
+                n_steps: int, planner=None):
+    """Receding-horizon control loop: replan → apply first action → step.
+
+    Returns (final state, actions (T, A), rewards (T,), best-costs (T,)).
+    `planner` defaults to the single-device `plan`; pass a
+    `make_sharded_planner` result to distribute each replan."""
+    do_plan = planner if planner is not None else partial(plan, m, cfg)
+
+    def body(carry, k):
+        st, pl = carry
+        pl, best = do_plan(st, pl, k)
+        a = pl.mean[0]
+        st2 = core.step_physics_only(m, st, a)
+        ag = achieved_goal(m.cfg, m.tree, m.arm, st2)
+        r = compute_reward(m.cfg, ag, st2.goal)
+        return (st2, shift_plan(pl, cfg)), (a, r, best)
+
+    keys = jax.random.split(key, n_steps)
+    (final, _), (acts, rs, bests) = jax.lax.scan(
+        body, (state, init_plan(m, cfg)), keys)
+    return final, acts, rs, bests
