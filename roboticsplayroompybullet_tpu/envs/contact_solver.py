@@ -62,7 +62,7 @@ def _tangent_basis(n):
                   jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], n.dtype), n.shape),
                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], n.dtype), n.shape))
     t1 = jnp.cross(n, a)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=-1, keepdims=True) + 1e-12)
     t2 = jnp.cross(n, t1)
     return t1, t2
 
@@ -82,6 +82,12 @@ def solve(rows: ContactRows,
     n_obj = obj_pos.shape[0]
     G = grip_u.shape[0]
     f32 = rows.normal.dtype
+    # host (numpy) constants arrive here but get gathered with traced row
+    # indices — lift to traced literals (cheap: embedded in the executable)
+    art_anchor = jnp.asarray(art_anchor)
+    art_axis = jnp.asarray(art_axis)
+    art_revolute_mask = jnp.asarray(art_revolute_mask)
+    inv_m_art = jnp.asarray(inv_m_art)
 
     active = rows.depth > 0.0
     # Baumgarte push-out, CLAMPED: unbounded beta·depth/dt injects momentum

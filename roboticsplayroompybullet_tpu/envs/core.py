@@ -41,6 +41,19 @@ class EnvModel(NamedTuple):
     scene: Scene
 
 
+def _host_constants(tree):
+    """Convert every device-array leaf to numpy.
+
+    Model constants are CLOSED OVER by the jitted step/reset functions; a
+    closed-over jax.Array constant permanently drops the whole process onto
+    a ~25 ms-per-dispatch slow path under the axon TPU runtime (measured:
+    one such executable poisons all subsequent calls). numpy leaves trace
+    to embedded literals and stay on the fast path — and constant
+    subexpressions fold at trace time for free."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
+
+
 def build_model(cfg: EnvConfig) -> EnvModel:
     tree, arm = get_arm(cfg.arm)
     kind = cfg.scene_kind
@@ -50,7 +63,8 @@ def build_model(cfg: EnvConfig) -> EnvModel:
         scene = playroom.push_scene(cfg.num_objects)
     else:
         scene = playroom.default_scene(cfg.num_objects)
-    return EnvModel(cfg, tree, arm, scene)
+    return EnvModel(cfg, _host_constants(tree), _host_constants(arm),
+                    _host_constants(scene))
 
 
 # ---------------------------------------------------------------------------

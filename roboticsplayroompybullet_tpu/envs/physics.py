@@ -137,30 +137,57 @@ def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     mu_world = scene.block_fric * 0.5   # bullet combines μ multiplicatively
     mu_pad = scene.block_fric           # pads μ≈1 (panda.urdf:259-287)
 
+    # padded (zero-half) art-box slots are skipped STATICALLY — scene
+    # constants are host numpy, so this prunes rows at trace time
+    def real_boxes(k):
+        return [b for b in range(nK)
+                if float(np.sum(scene.art_boxes_half[k, b])) > 0.0]
+
+    def deepest(cs: ct.ContactSet, axis: int) -> ct.ContactSet:
+        """Manifold reduction: keep only the deepest candidate along `axis`
+        (per corner / per pad). A point rarely penetrates two boxes of one
+        family at once; dropping the shallower rows cuts the row count ~7x
+        with matching trajectories (test_physics_reduction) and is what
+        Bullet's persistent-manifold capping does, structurally."""
+        j = jnp.argmax(cs.depth, axis=axis, keepdims=True)
+        take = lambda a: jnp.take_along_axis(a, j[..., None], axis=axis
+                                             ).squeeze(axis)
+        return ct.ContactSet(take(cs.point), take(cs.normal),
+                             jnp.take_along_axis(cs.depth, j, axis=axis
+                                                 ).squeeze(axis))
+
     for o in range(n_obj):
         corners = ct.box_corners(state.obj_pos[o], state.obj_quat[o],
                                  scene.block_half)
         # floor
         add(ct.points_halfspace(corners, scene.plane_z),
             jnp.zeros(3), mu_world, a=o)
-        # statics (contact face chosen from block center: no thin-slab flip)
+        # statics: deepest static per corner (face chosen from block center)
         if n_static > 0:
-            add(ct.points_aabox_ref(corners[:, None, :], state.obj_pos[o],
-                                    scene.static_pos[None],
-                                    scene.static_half[None]),
-                jnp.zeros(3), mu_world, a=o)
-        # articulated boxes
+            cs = ct.points_aabox_ref(corners[:, None, :], state.obj_pos[o],
+                                     scene.static_pos[None],
+                                     scene.static_half[None])
+            add(deepest(cs, 1), jnp.zeros(3), mu_world, a=o)
+        # articulated boxes: deepest box per corner per articulated object
         if scene.has_articulated:
             for k in range(4):
+                bs = real_boxes(k)
+                if not bs:
+                    continue
                 bpos, bquat = art_box_pose(scene, k, state.art_q)
-                for b in range(nK):
-                    half = scene.art_boxes_half[k, b]
+                sets = []
+                for b in bs:
                     center = bpos + sp.quat_rotate(bquat,
                                                    scene.art_boxes_pos[k, b])
-                    cs = ct.points_obox_ref(corners, state.obj_pos[o],
-                                            center, bquat, half)
-                    add(cs, jnp.zeros(3), 0.5 * scene.block_fric,
-                        a=o, k=k, valid=jnp.sum(half) > 0)
+                    sets.append(ct.points_obox_ref(
+                        corners, state.obj_pos[o], center, bquat,
+                        scene.art_boxes_half[k, b]))
+                cs = ct.ContactSet(
+                    jnp.stack([s.point for s in sets], 1),
+                    jnp.stack([s.normal for s in sets], 1),
+                    jnp.stack([s.depth for s in sets], 1))
+                add(deepest(cs, 1), jnp.zeros(3), 0.5 * scene.block_fric,
+                    a=o, k=k)
         # pads (normal flipped: sphere_obox points INTO the pad; rows want
         # it INTO the block = side A)
         for p in range(n_pads):
@@ -178,21 +205,28 @@ def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                                state.obj_quat[1], scene.block_half),
             jnp.zeros(3), scene.block_fric, a=0, b=1)
 
-    # pads vs articulated boxes
+    # pads vs articulated boxes: deepest box per pad per articulated object
     if scene.has_articulated:
         for k in range(4):
+            bs = real_boxes(k)
+            if not bs:
+                continue
             bpos, bquat = art_box_pose(scene, k, state.art_q)
-            for b in range(nK):
-                half = scene.art_boxes_half[k, b]
-                center = bpos + sp.quat_rotate(bquat,
-                                               scene.art_boxes_pos[k, b])
-                for p in range(n_pads):
+            for p in range(n_pads):
+                sets = []
+                for b in bs:
+                    center = bpos + sp.quat_rotate(bquat,
+                                                   scene.art_boxes_pos[k, b])
                     cs = ct.sphere_obox(pads_c[p], pads_r[p], center, bquat,
-                                        half)
-                    cs = ct.ContactSet(cs.point[None], -cs.normal[None],
-                                       cs.depth[None])
-                    add(cs, pads_v_nog[p], 0.6, k=k, pad=grip_slots[p],
-                        valid=jnp.sum(half) > 0)
+                                        scene.art_boxes_half[k, b])
+                    sets.append(ct.ContactSet(cs.point[None], -cs.normal[None],
+                                              cs.depth[None]))
+                cs = ct.ContactSet(
+                    jnp.stack([s.point for s in sets], 1),
+                    jnp.stack([s.normal for s in sets], 1),
+                    jnp.stack([s.depth for s in sets], 1))
+                add(deepest(cs, 1), pads_v_nog[p], 0.6, k=k,
+                    pad=grip_slots[p])
 
     if not pts:
         # reach envs: no dynamic bodies at all — one inert row

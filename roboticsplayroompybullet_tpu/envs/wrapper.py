@@ -71,6 +71,7 @@ class PlayEnv:
         self._jit_step = jax.jit(lambda s, a: core.step(self.model, s, a))
         self._jit_reset = jax.jit(lambda r: core.reset(self.model, r))
         self._jit_reset_o = jax.jit(lambda r, o: core.reset(self.model, r, o))
+        self._jit_render = None    # built on first rgb_array request
 
     # -- gym surface ------------------------------------------------------
     def seed(self, seed=None):
@@ -92,11 +93,21 @@ class PlayEnv:
             self._state, jnp.asarray(action, jnp.float32))
         self._state = state
         obs = {k: np.asarray(v) for k, v in obs.items()}
-        obs["img"] = None   # parity: 200x200 render slot (host renderer TBD)
+        # 200x200 RGB when recording (environments.py:841-843)
+        obs["img"] = self._render_frame() if self._record_images else None
         return obs, float(r), False, {
             "is_success": float(info["is_success"]),
             "target_poses": np.asarray(info["target_poses"]),
         }
+
+    def _render_frame(self):
+        from ..utils import render as rnd
+        if self._jit_render is None:
+            m = self.model
+            self._jit_render = jax.jit(lambda s: rnd.render_state(
+                m.cfg, m.tree, m.arm, m.scene, s))
+        img = self._jit_render(self._state)
+        return (np.asarray(img) * 255).astype(np.uint8)
 
     def render(self, mode="human"):
         if mode == "human":
@@ -104,6 +115,8 @@ class PlayEnv:
             return np.array([])
         if mode in ("rgb_array", "playback"):
             self._record_images = True
+            if self._state is not None:
+                return self._render_frame()
 
     def compute_reward(self, achieved_goal, desired_goal, info=None):
         r = _compute_reward(self.cfg, jnp.asarray(achieved_goal),

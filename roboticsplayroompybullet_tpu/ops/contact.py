@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from . import spatial as sp
@@ -52,7 +53,7 @@ def contact_force(cs: ContactSet, v_rel: jnp.ndarray, mu, params=DEFAULT_PARAMS)
     vn = jnp.sum(v_rel * cs.normal, axis=-1)
     fn = jnp.maximum(params.kn * cs.depth - params.cn * vn, 0.0) * active
     vt = v_rel - vn[..., None] * cs.normal
-    vt_mag = jnp.linalg.norm(vt, axis=-1)
+    vt_mag = sp.safe_norm(vt)
     ft = -(mu * fn / (vt_mag + params.eps_v))[..., None] * vt
     return fn[..., None] * cs.normal + ft
 
@@ -91,7 +92,7 @@ def capped_force(cs: ContactSet, v_rel: jnp.ndarray, mu, k_point,
         / (jnp.maximum(k_point, 1e-6) * dt) + f_hold * gate
     fn = jnp.clip(fn_pen, 0.0, f_cap) * active
     vt = v_rel - vn[..., None] * cs.normal
-    vt_mag = jnp.linalg.norm(vt, axis=-1)
+    vt_mag = sp.safe_norm(vt)
     ft = -(mu * fn / (vt_mag + params.eps_v))[..., None] * vt
     return fn[..., None] * cs.normal + ft
 
@@ -136,7 +137,7 @@ def sphere_aabox(center, radius, box_pos, box_half):
     d = center - box_pos
     clamped = jnp.clip(d, -box_half, box_half)
     outside_vec = d - clamped
-    dist = jnp.linalg.norm(outside_vec, axis=-1)
+    dist = sp.safe_norm(outside_vec)
     # exterior normal
     n_out = outside_vec / jnp.maximum(dist, 1e-9)[..., None]
     # interior: push out along the axis with least remaining distance
@@ -164,9 +165,12 @@ def sphere_obox(center, radius, box_pos, box_quat, box_half):
     )
 
 
-_CORNERS = jnp.array(
+# numpy, NOT jnp: closed-over DEVICE constants put the whole process on a
+# ~25 ms/call slow dispatch path under the axon TPU runtime (measured; see
+# core.build_model's host-constant conversion for the same rule).
+_CORNERS = np.array(
     [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
-     for sz in (-1.0, 1.0)], dtype=jnp.float32)  # (8,3)
+     for sz in (-1.0, 1.0)], dtype=np.float32)  # (8,3)
 
 
 def box_corners(pos, quat, half):

@@ -16,6 +16,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+def safe_norm(x, axis=-1, keepdims=False, eps: float = 1e-12):
+    """sqrt(Σx²+eps): gradient-safe at x=0 (jnp.linalg.norm's VJP is NaN
+    there, which reverse-mode leaks through jnp.where/maximum masks —
+    poisons iLQR linearizations)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 # ---------------------------------------------------------------------------
 # quaternions (xyzw)
 # ---------------------------------------------------------------------------
@@ -135,7 +142,9 @@ def quat_to_euler(q):
     cosr = 1.0 - 2.0 * (x * x + y * y)
     roll = jnp.arctan2(sinr, cosr)
     # pitch with gimbal clamp
-    sinp = jnp.clip(2.0 * (w * y - z * x), -1.0, 1.0)
+    # clip strictly inside ±1: arcsin's gradient is infinite at the ends
+    # (gimbal lock), and reverse-mode leaks the NaN through downstream masks
+    sinp = jnp.clip(2.0 * (w * y - z * x), -1.0 + 1e-7, 1.0 - 1e-7)
     pitch = jnp.arcsin(sinp)
     # yaw
     siny = 2.0 * (w * z + x * y)
@@ -168,7 +177,7 @@ def quat_integrate(q, omega, dt):
     Exact exponential-map update — stable for large omega*dt, unlike the
     first-order qdot formula.
     """
-    angle = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    angle = safe_norm(omega, keepdims=True)
     axis = omega / jnp.maximum(angle, 1e-9)
     half = angle * dt * 0.5
     dq = jnp.concatenate([axis * jnp.sin(half), jnp.cos(half)], axis=-1)

@@ -36,7 +36,10 @@ def goal_distance(cfg: EnvConfig, ag: jnp.ndarray, g: jnp.ndarray,
                 ag[..., idx:idx + 3] - g[..., idx:idx + 3], axis=-1)
             qa = sp.quat_normalize(ag[..., idx + 3:idx + 7])
             qg = sp.quat_normalize(g[..., idx + 3:idx + 7])
-            dot = jnp.clip(jnp.abs(jnp.sum(qa * qg, axis=-1)), 0.0, 1.0)
+            # clip strictly inside ±1: arccos' gradient is infinite at 1,
+            # and aligned quats (ag == g at reset) sit exactly there
+            dot = jnp.clip(jnp.abs(jnp.sum(qa * qg, axis=-1)), 0.0,
+                           1.0 - 1e-6)
             d += w.block_rot * 2.0 * jnp.arccos(dot)
             idx += 7
         d += w.scalars * jnp.sum(

@@ -37,7 +37,8 @@ def test_goal_distance_play_layout():
                           jnp.zeros(4)])
     g = ag.at[0].add(0.2)
     d = float(sol.goal_distance(cfg, ag, g))
-    assert d == pytest.approx(0.2, abs=1e-5)
+    # abs tol covers the intentional arccos clip at 1-1e-6 (rot term ~3e-4)
+    assert d == pytest.approx(0.2, abs=1e-3)
 
 
 def test_plan_improves_over_zero_action(model, state0):

@@ -1,0 +1,62 @@
+"""Checkpoint round-trip, metrics bits/sink, timing harness."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roboticsplayroompybullet_tpu.envs.config import CATALOG
+from roboticsplayroompybullet_tpu.envs import core
+from roboticsplayroompybullet_tpu import utils as U
+
+
+def test_checkpoint_roundtrip_env_state(tmp_path):
+    m = core.build_model(CATALOG["UR5Reach-v0"])
+    state, _ = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(0))
+    p = str(tmp_path / "state.npz")
+    U.save_pytree(p, state)
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = U.load_pytree(p, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restore is EXACT — stepping from both must agree bitwise
+    a1 = jnp.zeros((m.cfg.action_dim,), jnp.float32)
+    step = jax.jit(lambda s, a: core.step(m, s, a))
+    s_a, _, r_a, _ = step(state, a1)
+    s_b, _, r_b, _ = step(restored, a1)
+    np.testing.assert_array_equal(np.asarray(s_a.q), np.asarray(s_b.q))
+
+
+def test_checkpoint_leaf_mismatch_raises(tmp_path):
+    p = str(tmp_path / "x.npz")
+    U.save_pytree(p, {"a": jnp.ones(3)})
+    with pytest.raises(ValueError):
+        U.load_pytree(p, {"a": jnp.zeros(3), "b": jnp.zeros(2)})
+
+
+def test_play_element_bits():
+    cfg = CATALOG["UR5PlayAbsRPY1Obj-v0"]
+    ag = jnp.concatenate([jnp.zeros(3), jnp.array([0., 0., 0., 1.]),
+                          jnp.zeros(4)])
+    g = ag.at[8].add(0.05)  # door off by 0.05 > 0.04 threshold
+    bits = U.play_element_bits(cfg, ag, g)
+    assert bool(bits["block0_pos_ok"]) and bool(bits["block0_rot_ok"])
+    assert bool(bits["drawer_ok"]) and not bool(bits["door_ok"])
+    assert bool(bits["button_ok"]) and bool(bits["dial_ok"])
+
+
+def test_jsonl_sink(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    with U.JsonlSink(p) as sink:
+        sink.log(0, reward=jnp.float32(-1.0), ee_err=0.02)
+        sink.log(1, bits=jnp.array([1, 0, 1]))
+    recs = [json.loads(l) for l in open(p)]
+    assert recs[0]["reward"] == -1.0 and recs[0]["step"] == 0
+    assert recs[1]["bits"] == [1, 0, 1]
+
+
+def test_timeit_returns_positive():
+    f = jax.jit(lambda x: x * 2.0)
+    dt = U.timeit(f, jnp.ones(8))
+    assert dt > 0
