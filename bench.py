@@ -2,8 +2,14 @@
 
 Target metric from BASELINE.json north star: ≥10,000 40-step rollouts/s/chip
 on the flagship UR5PlayAbsRPY1Obj-v0 equivalent (full playroom: UR5 +
-Robotiq gripper, block, door, drawer, button, dial; 12 physics substeps per
-control step → 480 ABA+contact substeps per rollout).
+Robotiq gripper, block, door, drawer, button, dial; action decode + DLS IK
++ 12 ABA/contact substeps per control step → 480 physics substeps per
+rollout, achieved-goal + reward every control step).
+
+Default path: the fused Pallas control-step kernel (ops/fused_step.py) —
+the whole step stays in VMEM. Set BENCH_PATH=vmap for the XLA vmap
+baseline. BENCH_BATCH overrides the batch (default 4096; must be a
+multiple of 1024 on the fused path).
 
 Prints ONE JSON line:
   {"metric": "rollouts_per_s_per_chip_H40", "value": N, "unit": "rollouts/s",
@@ -16,6 +22,7 @@ north-star target.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -26,30 +33,40 @@ def main():
     from roboticsplayroompybullet_tpu.envs.config import CATALOG
     from roboticsplayroompybullet_tpu.envs import core
     from roboticsplayroompybullet_tpu.parallel import rollout as R
+    from roboticsplayroompybullet_tpu.parallel import fused
 
     H = 40
-    B = int(__import__("os").environ.get("BENCH_BATCH", "1024"))
+    path = os.environ.get("BENCH_PATH", "fused")
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
     m = core.build_model(CATALOG["UR5PlayAbsRPY1Obj-v0"])
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     states, _ = jax.jit(lambda k: R.batched_reset(m, k))(keys)
     jax.block_until_ready(states.q)
 
-    acts = jax.random.uniform(jax.random.PRNGKey(1),
-                              (B, H, m.cfg.action_dim),
-                              jnp.float32, -0.25, 0.25)
-
-    rollout = jax.jit(lambda s, a: R.batched_rollout(m, s, a))
-    # warmup / compile
-    fin, rs, ags = rollout(states, acts)
-    jax.block_until_ready(rs)
-
+    # DISTINCT inputs per rep: the runtime memoizes identical executions
+    # (same executable + same buffers), which fakes ~0 ms timings
     reps = 3
+    acts_list = [jax.random.uniform(jax.random.PRNGKey(1 + i),
+                                    (B, H, m.cfg.action_dim),
+                                    jnp.float32, -0.25, 0.25)
+                 for i in range(reps + 1)]
+    jax.block_until_ready(acts_list)
+
+    if path == "fused":
+        rollout = jax.jit(fused.make_fused_rollout(m))
+    else:
+        rollout = jax.jit(lambda s, a: R.batched_rollout(m, s, a))
+
+    fin, rs, ags = rollout(states, acts_list[-1])
+    float(rs.sum())   # block_until_ready is an async no-op on the axon
+                      # runtime; a scalar readback is the only real sync
+
     best = float("inf")
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        fin, rs, ags = rollout(states, acts)
-        jax.block_until_ready(rs)
+        fin, rs, ags = rollout(states, acts_list[i])
+        float(rs.sum())
         best = min(best, time.perf_counter() - t0)
 
     value = B / best

@@ -256,13 +256,17 @@ def build_tree(data_mod, base_pos, base_rpy, sites: Dict[str, int],
         else:
             sp.append(acc_pos[link]); sq.append(acc_quat[link])
 
-    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    # HOST numpy, never device arrays: constructing jnp arrays here (or
+    # transferring them back) permanently drops the whole process onto the
+    # axon runtime's ~25 ms/dispatch slow path (measured; see
+    # envs/core._host_constants).
+    f32 = lambda x: np.asarray(x, dtype=np.float32)
     return KineTree(
         pre_pos=f32(pre_pos), pre_quat=f32(pre_quat), axis=f32(axis),
         jtype=tuple(int(t) for t in jtype), lower=f32(lower), upper=f32(upper),
         effort=f32(effort), max_velocity=f32(max_vel), damping=f32(damping),
         mass=f32(fmass), com=f32(fcom), inertia=f32(fI_com),
-        parent_arr=jnp.asarray(np.array(rparent, dtype=np.int32)),
+        parent_arr=np.array(rparent, dtype=np.int32),
         site_pos=f32(np.stack(sp) if sp else np.zeros((0, 3))),
         site_quat=f32(np.stack(sq) if sq else np.zeros((0, 4))),
         site_parent=tuple(int(x) for x in spar),

@@ -77,7 +77,9 @@ class Scene:
 
 
 def _f32(x):
-    return jnp.asarray(np.asarray(x, dtype=np.float32))
+    # HOST numpy (see kinetree.build_tree): device-array model constants
+    # poison the axon dispatch path
+    return np.asarray(x, dtype=np.float32)
 
 
 def _pad_boxes(groups, K):
