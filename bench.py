@@ -54,6 +54,8 @@ def main():
     jax.block_until_ready(acts_list)
 
     if path == "fused":
+        rollout = jax.jit(fused.make_fused_rollout_whole(m, H))
+    elif path == "fused_step":
         rollout = jax.jit(fused.make_fused_rollout(m))
     else:
         rollout = jax.jit(lambda s, a: R.batched_rollout(m, s, a))

@@ -845,7 +845,7 @@ STATE_KEYS = ("q", "qd", "obj_pos", "obj_quat", "obj_vel", "obj_angvel",
 
 
 def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
-                      scene: Scene):
+                      scene: Scene, solve_iters: int = 16):
     dt = float(cfg.dt)
     n_arm = arm.n_arm
     n_dof = tree.n_dof
@@ -975,7 +975,7 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
 
         ov, ow, aqd, gqd = lane_solve(
             cfg, scene, bundles, st2, inv_I_world, inv_m_blk,
-            u_g, inv_m_grip, grip_qd0, art_qd, dt)
+            u_g, inv_m_grip, grip_qd0, art_qd, dt, iters=solve_iters)
 
         # write solved gripper-driver velocities back (row rebuild:
         # scatter has no Mosaic lowering)
@@ -1017,9 +1017,9 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
 
 def make_lane_sim(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                   scene: Scene, n_substeps: Optional[int] = None,
-                  unroll: bool = False):
+                  unroll: bool = False, solve_iters: int = 16):
     """12-substep control interval on lane state (pure jnp; kernel body)."""
-    sub = make_lane_substep(cfg, tree, arm, scene)
+    sub = make_lane_substep(cfg, tree, arm, scene, solve_iters=solve_iters)
     n = n_substeps if n_substeps is not None else cfg.substeps
 
     def sim(st: dict, ctrl_q, grip):
@@ -1360,12 +1360,14 @@ def lane_quat_to_euler(qv):
     return jnp.stack([roll, pitch, yaw])
 
 
-def make_lane_control(cfg: EnvConfig, tree: KineTree, arm: ArmConfig):
+def make_lane_control(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
+                      ik_iters: Optional[int] = None):
     """action (A, S, L) + state q → (ctrl targets (n_arm,S,L), grip (S,L)).
     Mirrors envs/core.control."""
     at = cfg.action_type
     n_arm = arm.n_arm
-    iters = 16 if arm.name == "Panda" else 24
+    iters = ik_iters if ik_iters is not None else \
+        (16 if arm.name == "Panda" else 24)
 
     def control(q, action):
         high = cvec(np.asarray(cfg.action_high, f32), q[0])
@@ -1417,9 +1419,12 @@ def make_lane_control(cfg: EnvConfig, tree: KineTree, arm: ArmConfig):
 
 def make_pallas_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                      scene: Scene, n_substeps: Optional[int] = None,
-                     block_envs: int = 1024, interpret: bool = False):
+                     block_envs: int = 1024, interpret: bool = False,
+                     ik_iters: Optional[int] = None, solve_iters: int = 16):
     """FULL control step (clip → control/IK → 12 substeps) as ONE kernel.
-    sim_B(X (NF,B), actions (A,B)) → X'."""
+    sim_B(X (NF,B), actions (A,B)) → X'. ik_iters/solve_iters below the
+    defaults yield a cheaper PREVIEW model (planner scoring), not the
+    reference-parity env step."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1427,8 +1432,9 @@ def make_pallas_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     A_dim = cfg.action_dim
     L = 128
     S = block_envs // L
-    sim = make_lane_sim(cfg, tree, arm, scene, n_substeps)
-    control = make_lane_control(cfg, tree, arm)
+    sim = make_lane_sim(cfg, tree, arm, scene, n_substeps,
+                        solve_iters=solve_iters)
+    control = make_lane_control(cfg, tree, arm, ik_iters=ik_iters)
 
     def kernel(x_ref, a_ref, y_ref):
         Xb = x_ref[:]
@@ -1482,3 +1488,99 @@ def make_reference_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         return _block_from_lanes(cfg, tree, out).reshape(NF, B)
 
     return step_B
+
+
+def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
+                        scene: Scene, horizon: int,
+                        n_substeps: Optional[int] = None,
+                        block_envs: int = 1024, interpret: bool = False,
+                        ik_iters: Optional[int] = None,
+                        solve_iters: int = 16):
+    """ENTIRE H-step rollout as ONE kernel invocation per env block.
+
+    Each kernel call costs ~1.5 ms of fixed dispatch/launch overhead on the
+    tunneled chip; folding the horizon loop inside amortizes it H-fold.
+    roll_B(X (NF, B), actions (H, A, B)) → (X', ags (H, ag_dim, B)).
+    Play/object envs only (achieved goal sliced from packed rows)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, NF = _field_rows(cfg, tree)
+    A_dim = cfg.action_dim
+    n, no = tree.n_dof, cfg.num_objects
+    ag_dim = (7 * no + 4) if cfg.play else \
+        ((7 if cfg.use_orientation else 3) * no)
+    L = 128
+    S = block_envs // L
+    sim = make_lane_sim(cfg, tree, arm, scene, n_substeps,
+                        solve_iters=solve_iters)
+    control = make_lane_control(cfg, tree, arm, ik_iters=ik_iters)
+    pos0 = 2 * n
+    quat0 = pos0 + 3 * no
+    art0 = quat0 + 4 * no + 6 * no
+
+    def ag_of(Xb):
+        parts = []
+        for o in range(no):
+            parts.append(Xb[pos0 + 3 * o: pos0 + 3 * (o + 1)])
+            if cfg.play or cfg.use_orientation:
+                parts.append(Xb[quat0 + 4 * o: quat0 + 4 * (o + 1)])
+        if cfg.play:
+            art = Xb[art0:art0 + 4]
+            # dial_to_0_1_range (reference scenes.py:342-343, bug included)
+            parts.append(jnp.stack([art[0], art[1], art[2],
+                                    (art[3] % 2.0) * np.pi
+                                    / (2.2 * np.pi)]))
+        return jnp.concatenate(parts, axis=0)
+
+    def kernel(x_ref, a_ref, y_ref, ag_ref):
+        Xb = x_ref[:]                                  # (NF, S, L)
+        st = _lanes_from_block(cfg, tree, Xb)
+
+        def body(h, carry):
+            d = dict(zip(STATE_KEYS, carry))
+            a_h = a_ref[h]                             # (A, S, L)
+            ctrl, grip = control(d["q"], a_h)
+            d = sim(d, ctrl, grip)
+            ag_ref[h] = ag_of(_block_from_lanes(cfg, tree, d))
+            return tuple(d[k] for k in STATE_KEYS)
+
+        carry = tuple(st[k] for k in STATE_KEYS)
+        carry = jax.lax.fori_loop(0, horizon, body, carry)
+        y_ref[:] = _block_from_lanes(cfg, tree,
+                                     dict(zip(STATE_KEYS, carry)))
+
+    def roll_B(X, actions):
+        B = X.shape[1]
+        assert B % block_envs == 0, (B, block_envs)
+        G = B // block_envs
+        X3 = X.reshape(NF, G * S, L)
+        A4 = actions.reshape(horizon, A_dim, G * S, L)
+        Y3, AG4 = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((NF, S, L), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((horizon, A_dim, S, L),
+                             lambda g: (0, 0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((NF, S, L), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((horizon, ag_dim, S, L),
+                             lambda g: (0, 0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NF, G * S, L), jnp.float32),
+                jax.ShapeDtypeStruct((horizon, ag_dim, G * S, L),
+                                     jnp.float32),
+            ],
+            interpret=interpret,
+        )(X3, A4)
+        return (Y3.reshape(NF, B),
+                AG4.reshape(horizon, ag_dim, B))
+
+    return roll_B

@@ -58,11 +58,14 @@ def supports_fused(m: EnvModel) -> bool:
 
 
 def make_fused_rollout(m: EnvModel, interpret: bool = False,
-                       block_envs: int = 1024):
+                       block_envs: int = 1024, ik_iters=None,
+                       solve_iters: int = 16):
     """(states (B,), actions (B, H, A)) → (final states, rewards (B, H),
-    ags (B, H, ag_dim)). B must be a multiple of block_envs."""
+    ags (B, H, ag_dim)). B must be a multiple of block_envs. ik_iters /
+    solve_iters below defaults = cheaper preview model (planner use)."""
     stepk = fs.make_pallas_step(m.cfg, m.tree, m.arm, m.scene,
-                                block_envs=block_envs, interpret=interpret)
+                                block_envs=block_envs, interpret=interpret,
+                                ik_iters=ik_iters, solve_iters=solve_iters)
     ag_fn = _ag_row_gather(m)
 
     def rollout(states: EnvState, actions: jnp.ndarray):
@@ -96,3 +99,29 @@ def make_fused_batched_step(m: EnvModel, interpret: bool = False,
         return states.replace(t=states.t + 1)
 
     return step
+
+
+def make_fused_rollout_whole(m: EnvModel, horizon: int,
+                             interpret: bool = False,
+                             block_envs: int = 1024, ik_iters=None,
+                             solve_iters: int = 16):
+    """Whole-horizon single-kernel rollout: ONE pallas invocation per env
+    block for all H control steps (~1.5 ms fixed dispatch cost amortized
+    H-fold vs the per-step kernel). Same signature as make_fused_rollout."""
+    roll_B = fs.make_pallas_rollout(m.cfg, m.tree, m.arm, m.scene, horizon,
+                                    block_envs=block_envs,
+                                    interpret=interpret, ik_iters=ik_iters,
+                                    solve_iters=solve_iters)
+
+    def rollout(states: EnvState, actions: jnp.ndarray):
+        assert actions.shape[1] == horizon, (actions.shape, horizon)
+        X = fs.pack_state(m.cfg, m.tree, states)
+        acts = jnp.moveaxis(actions, 0, -1)          # (H, A, B)
+        Xf, ags = roll_B(X, acts)                    # ags (H, ag_dim, B)
+        ags = jnp.moveaxis(ags, -1, 0)               # (B, H, ag_dim)
+        rs = compute_reward(m.cfg, ags, states.goal[:, None, :])
+        final = fs.unpack_state(m.cfg, m.tree, Xf, states)
+        final = final.replace(t=states.t + horizon)
+        return final, rs, ags
+
+    return rollout

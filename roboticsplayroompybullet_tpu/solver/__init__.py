@@ -1,14 +1,16 @@
 """Sampling + gradient MPC solvers over differentiable rollouts."""
 from .cost import CostWeights, goal_distance, trajectory_cost
 from .mpc import (MPCConfig, PlanState, init_plan, shift_plan, plan,
-                  make_sharded_planner, mpc_rollout)
+                  make_sharded_planner, make_fused_planner,
+                  make_fused_mpc_rollout, mpc_rollout)
 from .ilqr import ILQRConfig, ILQRResult, ilqr, ilqr_plan
 from .gradient import GradConfig, refine
 
 __all__ = [
     "CostWeights", "goal_distance", "trajectory_cost",
     "MPCConfig", "PlanState", "init_plan", "shift_plan", "plan",
-    "make_sharded_planner", "mpc_rollout",
+    "make_sharded_planner", "make_fused_planner",
+    "make_fused_mpc_rollout", "mpc_rollout",
     "ILQRConfig", "ILQRResult", "ilqr", "ilqr_plan",
     "GradConfig", "refine",
 ]

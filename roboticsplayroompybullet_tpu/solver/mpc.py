@@ -46,6 +46,9 @@ class MPCConfig(NamedTuple):
     smooth: float = 0.7         # AR(1) coefficient for time-correlated noise
     algorithm: str = "mppi"     # "mppi" | "cem"
     weights: CostWeights = CostWeights()
+    # fused-planner preview-model fidelity (None/16 = full parity)
+    preview_ik_iters: Optional[int] = 8
+    preview_solve_iters: int = 8
 
 
 class PlanState(NamedTuple):
@@ -162,6 +165,46 @@ def plan(m: EnvModel, cfg: MPCConfig, state: EnvState, plan_state: PlanState,
     return _plan_iters(m, cfg, state, plan_state, key, cfg.pop, axis=None)
 
 
+def make_fused_planner(m: EnvModel, cfg: MPCConfig,
+                       interpret: bool = False):
+    """Single-chip replanner scoring candidates through the fused Pallas
+    rollout (parallel/fused.py) — the real-time (≤20 ms) MPC path.
+
+    The population IS the kernel batch: cfg.pop must be a multiple of the
+    kernel block (1024). Returns plan_fn(state, plan_state, key)."""
+    from ..parallel import fused as _fused
+
+    roll = _fused.make_fused_rollout_whole(
+        m, cfg.horizon, interpret=interpret,
+        ik_iters=cfg.preview_ik_iters,
+        solve_iters=cfg.preview_solve_iters)
+    update = _mppi_update if cfg.algorithm == "mppi" else _cem_update
+    high = jnp.asarray(m.cfg.action_high, jnp.float32)
+
+    def replicate(state: EnvState, n):
+        return jax.tree.map(lambda x: jnp.broadcast_to(
+            x, (n,) + x.shape), state)
+
+    def plan_fn(state: EnvState, plan_state: PlanState, key):
+        states = replicate(state, cfg.pop)
+
+        def body(carry, k):
+            pl = carry
+            acts = _sample(k, pl, cfg, cfg.pop, high)      # (pop, H, A)
+            _, _, ags = roll(states, acts)                 # (pop, H, ag)
+            costs = jax.vmap(
+                lambda ag, a: trajectory_cost(m.cfg, ag, state.goal, a,
+                                              cfg.weights))(ags, acts)
+            pl = update(pl, cfg, acts, costs, None)
+            return pl, jnp.min(costs)
+
+        keys = jax.random.split(key, cfg.iters)
+        plan_state, bests = jax.lax.scan(body, plan_state, keys)
+        return plan_state, bests[-1]
+
+    return plan_fn
+
+
 def make_sharded_planner(m: EnvModel, cfg: MPCConfig, mesh):
     """Replan with the population sharded over every mesh axis.
 
@@ -187,6 +230,42 @@ def make_sharded_planner(m: EnvModel, cfg: MPCConfig, mesh):
         return pl, best
 
     return jax.jit(_plan)
+
+
+def make_fused_mpc_rollout(m: EnvModel, cfg: MPCConfig, n_steps: int,
+                           interpret: bool = False):
+    """Fully-fused receding-horizon loop: fused planner + fused env step.
+
+    The single controlled env rides lane 0 of a replicated kernel block, so
+    the between-solve env advance costs one kernel step (~0.4 ms) instead
+    of an unbatched XLA step (~25 ms). Returns run(state, key) →
+    (final state, actions (T, A), rewards (T,), best costs (T,))."""
+    from ..parallel import fused as _fused
+
+    planner = make_fused_planner(m, cfg, interpret=interpret)
+    stepB = _fused.make_fused_batched_step(m, interpret=interpret)
+    ag_fn = partial(achieved_goal, m.cfg, m.tree, m.arm)
+    BLOCK = 1024
+
+    def run(state: EnvState, key):
+        def body(carry, k):
+            st, pl = carry
+            pl, best = planner(st, pl, k)
+            a = pl.mean[0]
+            sts = jax.tree.map(lambda x: jnp.broadcast_to(
+                x, (BLOCK,) + x.shape), st)
+            sts2 = stepB(sts, jnp.broadcast_to(a, (BLOCK,) + a.shape))
+            st2 = jax.tree.map(lambda x: x[0], sts2)
+            ag = ag_fn(st2)
+            r = compute_reward(m.cfg, ag, st2.goal)
+            return (st2, shift_plan(pl, cfg)), (a, r, best)
+
+        keys = jax.random.split(key, n_steps)
+        (final, _), (acts, rs, bests) = jax.lax.scan(
+            body, (state, init_plan(m, cfg)), keys)
+        return final, acts, rs, bests
+
+    return run
 
 
 def mpc_rollout(m: EnvModel, cfg: MPCConfig, state: EnvState, key,

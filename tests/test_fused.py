@@ -6,6 +6,8 @@ the small-but-complete play scene exercised here via pandaPlay's panda
 arm. The full UR5 playroom equivalence is covered by the (slow) script in
 tools/check_fused.py; here we keep CI-sized cases.
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,8 +21,11 @@ from roboticsplayroompybullet_tpu.parallel import rollout as R
 B = 128
 
 
-def _setup(env_id, seed=0):
-    m = core.build_model(CATALOG[env_id])
+def _setup(env_id, seed=0, substeps=None):
+    cfg = CATALOG[env_id]
+    if substeps is not None:
+        cfg = dataclasses.replace(cfg, substeps=substeps)
+    m = core.build_model(cfg)
     keys = jax.random.split(jax.random.PRNGKey(seed), B)
     states, _ = jax.jit(lambda k: R.batched_reset(m, k))(keys)
     states = states.replace(
@@ -29,11 +34,16 @@ def _setup(env_id, seed=0):
     return m, states
 
 
-def _compare_sim(m, states, atol):
+def _compare_sim(m, states, atol, n_substeps=3):
+    # 3 substeps, not 12: identical code path, ~4x smaller jaxprs to
+    # compile (1-core CI box); 12-substep equivalence runs on real TPU
+    # via tools/check_fused.py
     ref = jax.jit(jax.vmap(lambda s: physics.run_simulation(
-        m.cfg, m.tree, m.arm, m.scene, s)))(states)
+        m.cfg, m.tree, m.arm, m.scene, s,
+        n_substeps=n_substeps)))(states)
     X = fs.pack_state(m.cfg, m.tree, states)
-    sim = fs.make_reference_sim(m.cfg, m.tree, m.arm, m.scene)
+    sim = fs.make_reference_sim(m.cfg, m.tree, m.arm, m.scene,
+                                n_substeps=n_substeps)
     X2 = jax.jit(sim)(X, states.ctrl_q.T.astype(jnp.float32),
                       states.grip.astype(jnp.float32))
     lane = fs.unpack_state(m.cfg, m.tree, X2, states)
@@ -80,7 +90,7 @@ def test_fused_control_matches():
 
 def test_fused_full_step_matches():
     """Whole-step kernel body (control + sim) vs core.step_physics_only."""
-    m, states = _setup("pandaPick-v0", seed=5)
+    m, states = _setup("pandaPick-v0", seed=5, substeps=3)
     acts = jax.random.uniform(jax.random.PRNGKey(6),
                               (B, m.cfg.action_dim), jnp.float32, -0.3, 0.3)
     ref = jax.jit(jax.vmap(
@@ -101,13 +111,40 @@ def test_fused_full_step_matches():
 
 
 def test_pallas_interpret_matches_reference():
-    """pallas_call(interpret=True) == the plain-jnp twin (tiny case)."""
+    """pallas_call(interpret=True) == the plain-jnp twin (tiny case).
+
+    2 substeps instead of 12: identical code path, ~6x less interpreter
+    time (this CI box is 1 CPU core; full fidelity is covered on real TPU
+    by tools/check_fused.py)."""
     m, states = _setup("UR5Reach-v0", seed=7)
     X = fs.pack_state(m.cfg, m.tree, states)
     ctrl = states.ctrl_q.T.astype(jnp.float32)
     grip = states.grip.astype(jnp.float32)
     ref = jax.jit(fs.make_reference_sim(m.cfg, m.tree, m.arm, m.scene,
+                                        n_substeps=2,
                                         block_envs=128))(X, ctrl, grip)
-    pal = fs.make_pallas_sim(m.cfg, m.tree, m.arm, m.scene,
+    pal = fs.make_pallas_sim(m.cfg, m.tree, m.arm, m.scene, n_substeps=2,
                              block_envs=128, interpret=True)(X, ctrl, grip)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_rollout_interpret_matches_stepwise():
+    """Whole-horizon kernel == H applications of the step kernel (both
+    interpret mode, tiny case; reduced substeps/iters — see above)."""
+    m, states = _setup("pandaPick-v0", seed=9)
+    H = 2
+    X = fs.pack_state(m.cfg, m.tree, states)
+    acts = jax.random.uniform(jax.random.PRNGKey(10),
+                              (H, m.cfg.action_dim, B), jnp.float32,
+                              -0.3, 0.3)
+    kw = dict(block_envs=128, interpret=True, n_substeps=2,
+              ik_iters=2, solve_iters=4)
+    stepk = fs.make_pallas_step(m.cfg, m.tree, m.arm, m.scene, **kw)
+    Xs = X
+    for h in range(H):
+        Xs = stepk(Xs, acts[h])
+    roll = fs.make_pallas_rollout(m.cfg, m.tree, m.arm, m.scene, H, **kw)
+    Xr, ags = roll(X, acts)
+    np.testing.assert_allclose(np.asarray(Xr), np.asarray(Xs), atol=1e-5)
+    ag_dim = (7 if m.cfg.use_orientation else 3) * m.cfg.num_objects
+    assert ags.shape == (H, ag_dim, B)   # pick env: obj pos

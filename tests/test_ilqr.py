@@ -1,4 +1,6 @@
 """iLQR: toy-LQR convergence + env-level improvement; Adam refiner."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,7 +51,10 @@ def test_extract_inject_roundtrip():
 
 
 def test_ilqr_plan_improves_reach():
-    m = core.build_model(CATALOG["UR5Reach-v0"])
+    # 3 substeps instead of 12: same code path, ~4x smaller jaxpr to
+    # differentiate (this test is compile-bound on CPU)
+    m = core.build_model(dataclasses.replace(
+        CATALOG["UR5Reach-v0"], substeps=3))
     state, _ = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(2))
     H = 4
     us0 = jnp.zeros((H, m.cfg.action_dim))
@@ -65,7 +70,8 @@ def test_ilqr_plan_improves_reach():
 
 
 def test_gradient_refine_improves_reach():
-    m = core.build_model(CATALOG["UR5Reach-v0"])
+    m = core.build_model(dataclasses.replace(
+        CATALOG["UR5Reach-v0"], substeps=3))
     state, _ = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(5))
     us0 = jnp.zeros((4, m.cfg.action_dim))
     cfg = sol.GradConfig(iters=12, lr=0.1)

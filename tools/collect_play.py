@@ -1,0 +1,137 @@
+"""Collect play episodes into the native episode log.
+
+The reference's workflow: a human teleoperates the playroom via VR and
+episodes are written for learning_from_play (reference README.md:2-10).
+The TPU-native analogue collects BATCHED play data — thousands of envs in
+lockstep on-device — from either a smooth random play policy or a
+receding-horizon MPPI controller.
+
+  python tools/collect_play.py --env UR5PlayAbsRPY1Obj-v0 \
+      --policy random --batch 1024 --steps 200 --out /tmp/play.elog
+
+Fields per step: obs_quat, achieved_goal, desired_goal, action,
+full_positional_state — the LfP replay schema (environments.py:849-861).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="UR5PlayAbsRPY1Obj-v0")
+    ap.add_argument("--policy", choices=["random", "mppi"],
+                    default="random")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--out", default="/tmp/play.elog")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+    from roboticsplayroompybullet_tpu.envs import core
+    from roboticsplayroompybullet_tpu.envs.obs import calc_obs
+    from roboticsplayroompybullet_tpu.parallel import rollout as R
+    from roboticsplayroompybullet_tpu.parallel import fused
+    from roboticsplayroompybullet_tpu.utils.episodelog import EpisodeWriter
+    from roboticsplayroompybullet_tpu import solver as sol
+
+    m = core.build_model(CATALOG[args.env])
+    B, T, A = args.batch, args.steps, m.cfg.action_dim
+    rng = jax.random.PRNGKey(args.seed)
+
+    def public_obs(s):
+        o = calc_obs(m.cfg, m.tree, m.arm, m.scene, s)
+        return {k: o[k] for k in ("obs_quat", "achieved_goal",
+                                  "desired_goal", "full_positional_state")}
+
+    if args.policy == "random":
+        use_fused = m.cfg.num_objects > 0 and B % 1024 == 0
+        stepB = fused.make_fused_batched_step(m) if use_fused \
+            else (lambda s, a: R.batched_step(m, s, a)[0])
+
+        def collect(states, key):
+            """scan T steps: AR(1) play actions + per-step obs capture."""
+            high = jnp.asarray(m.cfg.action_high)
+
+            def body(carry, k):
+                st, tail = carry
+                eps = jax.random.normal(k, (B, A))
+                tail = 0.85 * tail + 0.35 * eps
+                acts = jnp.clip(tail, -high, high)
+                st = stepB(st, acts)
+                obs = jax.vmap(public_obs)(st)
+                return (st, tail), (obs, acts)
+
+            keys = jax.random.split(key, T)
+            (st, _), (obs, acts) = jax.lax.scan(
+                body, (states, jnp.zeros((B, A))), keys)
+            return st, obs, acts
+
+        rng, k0, k1 = jax.random.split(rng, 3)
+        states, _ = jax.jit(lambda k: R.batched_reset(m, k))(
+            jax.random.split(k0, B))
+        t0 = time.time()
+        st, obs, acts = jax.jit(collect)(states, k1)
+        obs = {k: np.asarray(v) for k, v in obs.items()}   # (T, B, d)
+        acts = np.asarray(acts)
+        dt = time.time() - t0
+        print(f"collected {B} x {T} steps in {dt:.1f}s "
+              f"= {B * T / dt:.0f} env-steps/s", flush=True)
+
+        fields = {k: obs[k].shape[-1] for k in obs}
+        fields["action"] = A
+        with EpisodeWriter(args.out, fields) as w:
+            for b in range(B):
+                w.begin_episode()
+                data = {k: obs[k][:, b] for k in obs}
+                data["action"] = acts[:, b]
+                w.append_batch(data)
+                w.end_episode()
+        print(f"wrote {B} episodes of {T} steps to {args.out}")
+    else:
+        cfg = sol.MPCConfig(horizon=10, pop=1024, iters=2,
+                            algorithm="mppi", sigma_init=0.3)
+        plan_fn = jax.jit(sol.make_fused_planner(m, cfg))
+        step1 = jax.jit(lambda s, a: core.step(m, s, a))
+        rng, sub = jax.random.split(rng)
+        state, obs = jax.jit(lambda k: core.reset(m, k))(sub)
+        fields = {k: np.asarray(obs[k]).shape[-1]
+                  for k in ("obs_quat", "achieved_goal", "desired_goal",
+                            "full_positional_state")}
+        fields["action"] = A
+        pl = sol.init_plan(m, cfg)
+        with EpisodeWriter(args.out, fields) as w:
+            w.begin_episode()
+            for t in range(T):
+                rng, sub = jax.random.split(rng)
+                pl, best = plan_fn(state, pl, sub)
+                a = pl.mean[0]
+                state, obs, r, info = step1(state, a)
+                pl = sol.shift_plan(pl, cfg)
+                w.append_batch({
+                    "obs_quat": np.asarray(obs["obs_quat"])[None],
+                    "achieved_goal": np.asarray(obs["achieved_goal"])[None],
+                    "desired_goal": np.asarray(obs["desired_goal"])[None],
+                    "full_positional_state":
+                        np.asarray(obs["full_positional_state"])[None],
+                    "action": np.asarray(a)[None],
+                })
+                if t % 25 == 0:
+                    print(f"t={t} r={float(r):.3f} best={float(best):.3f}",
+                          flush=True)
+            w.end_episode()
+        print(f"wrote 1 episode to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
