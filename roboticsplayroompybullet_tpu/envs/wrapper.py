@@ -123,9 +123,11 @@ class PlayEnv:
                             jnp.asarray(desired_goal))
         return np.asarray(r)
 
-    def reset_goal_pos(self, goal):
-        self._state = core.reset_goal(self.model, self._state, self._state.rng,
-                                      jnp.asarray(goal, jnp.float32))
+    def reset_goal_pos(self, goal=None):
+        """goal=None resamples (environments.py:190-191, 492-516)."""
+        g = None if goal is None else jnp.asarray(goal, jnp.float32)
+        self._state = core.reset_goal(self.model, self._state,
+                                      self._state.rng, g)
 
     def visualise_sub_goal(self, sub_goal, sub_goal_state="full_positional_state"):
         """Stores the sub-goal for the host-side renderer (the reference's
