@@ -8,8 +8,10 @@ rollout, achieved-goal + reward every control step).
 
 Default path: the fused Pallas control-step kernel (ops/fused_step.py) —
 the whole step stays in VMEM. Set BENCH_PATH=vmap for the XLA vmap
-baseline. BENCH_BATCH overrides the batch (default 4096; must be a
-multiple of 1024 on the fused path).
+baseline, BENCH_PATH=fused_step for the per-control-step kernel.
+BENCH_BATCH overrides the batch (default 4096; must be a multiple of
+1024 on the fused path; >4096 exceeds the tunneled dev chip's
+per-executable time budget and faults — use 4096 there).
 
 Prints ONE JSON line:
   {"metric": "rollouts_per_s_per_chip_H40", "value": N, "unit": "rollouts/s",

@@ -1550,13 +1550,15 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         y_ref[:] = _block_from_lanes(cfg, tree,
                                      dict(zip(STATE_KEYS, carry)))
 
-    def roll_B(X, actions):
-        B = X.shape[1]
-        assert B % block_envs == 0, (B, block_envs)
-        G = B // block_envs
-        X3 = X.reshape(NF, G * S, L)
-        A4 = actions.reshape(horizon, A_dim, G * S, L)
-        Y3, AG4 = pl.pallas_call(
+    # Bound each pallas_call to max_grid blocks: H×substeps×grid physics
+    # in one invocation runs long, and the tunneled dev chip faults once
+    # the *executable's* device time passes ~0.1-0.2 s (B=8192/H=40 fails
+    # even chunked; B=4096 is the practical ceiling there — real TPU
+    # hosts without the tunnel watchdog can raise both).
+    max_grid = 4
+
+    def _call(X3, A4, G):
+        return pl.pallas_call(
             kernel,
             grid=(G,),
             in_specs=[
@@ -1580,6 +1582,25 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
             ],
             interpret=interpret,
         )(X3, A4)
+
+    def roll_B(X, actions):
+        B = X.shape[1]
+        assert B % block_envs == 0, (B, block_envs)
+        G = B // block_envs
+        X3 = X.reshape(NF, G * S, L)
+        A4 = actions.reshape(horizon, A_dim, G * S, L)
+        if G <= max_grid:
+            Y3, AG4 = _call(X3, A4, G)
+        else:
+            ys, ags_parts = [], []
+            for c0 in range(0, G, max_grid):
+                gc = min(max_grid, G - c0)
+                y, a = _call(X3[:, c0 * S:(c0 + gc) * S],
+                             A4[:, :, c0 * S:(c0 + gc) * S], gc)
+                ys.append(y)
+                ags_parts.append(a)
+            Y3 = jnp.concatenate(ys, axis=1)
+            AG4 = jnp.concatenate(ags_parts, axis=2)
         return (Y3.reshape(NF, B),
                 AG4.reshape(horizon, ag_dim, B))
 
