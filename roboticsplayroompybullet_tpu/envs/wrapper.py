@@ -100,13 +100,61 @@ class PlayEnv:
             "target_poses": np.asarray(info["target_poses"]),
         }
 
+    def _sub_goal_ghosts(self):
+        """Translucent marker spheres from the stored sub-goal vector:
+        ee target (full_positional_state kinds), per-block goal positions,
+        and the 4 articulated elements posed at their goal values — the
+        flat-array analogue of the reference's ghost bodies
+        (environments.py:606-703)."""
+        cfg = self.cfg
+        K = cfg.num_objects + 5          # ee + blocks + drawer/door/button/dial
+        pos = np.zeros((K, 3), np.float32)
+        rad = np.zeros((K,), np.float32)
+        col = np.zeros((K, 3), np.float32)
+        alp = np.zeros((K,), np.float32)
+        if self._sub_goal is None:
+            return pos, rad, col, alp
+        from ..utils import render as rnd
+        vec, kind = self._sub_goal
+        vec = np.asarray(vec, np.float32)
+        ag = None
+        if kind == "full_positional_state":
+            pos[0], rad[0], col[0], alp[0] = vec[:3], 0.05, rnd._ARM_COLOR, 0.4
+            off = 8 if cfg.use_orientation else 4
+            if vec.shape[0] > off:
+                ag = vec[off:]
+        else:                            # achieved_goal-layout sub-goal
+            ag = vec
+        if ag is not None and cfg.num_objects > 0:
+            per = 7 if (cfg.play or cfg.use_orientation) else 3
+            for o in range(cfg.num_objects):
+                pos[1 + o] = ag[per * o: per * o + 3]
+                rad[1 + o] = float(np.max(self.model.scene.block_half)) * 1.6
+                col[1 + o] = rnd._BLOCK_COLORS[o % 2]
+                alp[1 + o] = 0.4
+            if cfg.play and ag.shape[0] >= per * cfg.num_objects + 4:
+                from . import physics
+                art = ag[per * cfg.num_objects:][:4].copy()
+                art[3] = art[3] * 2.2    # undo dial_to_0_1_range (viz only)
+                art_q = jnp.asarray(art)
+                for k in range(4):
+                    p, _ = physics.art_box_pose(self.model.scene, k, art_q)
+                    j = 1 + cfg.num_objects + k
+                    pos[j] = np.asarray(p)
+                    rad[j] = 0.035
+                    col[j] = rnd._ART_COLORS[k]
+                    alp[j] = 0.4
+        return pos, rad, col, alp
+
     def _render_frame(self):
         from ..utils import render as rnd
         if self._jit_render is None:
             m = self.model
-            self._jit_render = jax.jit(lambda s: rnd.render_state(
-                m.cfg, m.tree, m.arm, m.scene, s))
-        img = self._jit_render(self._state)
+            self._jit_render = jax.jit(
+                lambda s, gp, gr, gc, ga: rnd.render_state(
+                    m.cfg, m.tree, m.arm, m.scene, s,
+                    ghosts=(gp, gr, gc, ga)))
+        img = self._jit_render(self._state, *self._sub_goal_ghosts())
         return (np.asarray(img) * 255).astype(np.uint8)
 
     def render(self, mode="human"):

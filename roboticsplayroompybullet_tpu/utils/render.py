@@ -153,8 +153,15 @@ _LIGHT = (0.4, -0.35, 0.85)
 def render_state(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                  scene: Scene, state: EnvState,
                  camera: Optional[Camera] = None,
-                 pixels: int = PIXELS) -> jnp.ndarray:
-    """(pixels, pixels, 3) float32 RGB in [0, 1]. Jit/vmap-clean."""
+                 pixels: int = PIXELS,
+                 ghosts: Optional[tuple] = None) -> jnp.ndarray:
+    """(pixels, pixels, 3) float32 RGB in [0, 1]. Jit/vmap-clean.
+
+    ghosts: optional (centers (K,3), radii (K,), colors (K,3),
+    alphas (K,)) traced arrays — translucent sub-goal markers blended
+    over the frame, the analogue of the reference's collision-masked
+    rgba-0.3 ghost bodies (environments.py:606-703; scenes.py ghostly
+    branches). alpha 0 disables a slot."""
     cam = camera if camera is not None else camera_from_yaw_pitch()
     H = W = pixels
     iy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0 - 1.0
@@ -231,6 +238,15 @@ def render_state(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     sky = jnp.asarray((0.65, 0.75, 0.9), jnp.float32)
     img = jnp.where((best_t < _BIG * 0.5)[..., None],
                     best_c * shade[..., None], sky[None])
+
+    if ghosts is not None:
+        g_pos, g_rad, g_col, g_alpha = ghosts
+        for k in range(g_pos.shape[0]):
+            t, _ = _ray_sphere(o, d, g_pos[k], g_rad[k])
+            # visible wherever the ghost is in front of the opaque hit
+            a = jnp.where(t < best_t, g_alpha[k], 0.0)[..., None]
+            img = img * (1.0 - a) + g_col[k][None] * a
+
     return img.reshape(H, W, 3)
 
 

@@ -60,3 +60,50 @@ def test_timeit_returns_positive():
     f = jax.jit(lambda x: x * 2.0)
     dt = U.timeit(f, jnp.ones(8))
     assert dt > 0
+
+
+def test_render_state_and_ghost_overlay():
+    """Raycast renderer: valid image; translucent sub-goal ghosts blend in
+    (reference ghost bodies, environments.py:606-703)."""
+    from roboticsplayroompybullet_tpu.utils import render as rnd
+
+    m = core.build_model(CATALOG["pandaPick-v0"])
+    state, _ = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(0))
+    px = 48
+    base = np.asarray(rnd.render_state(m.cfg, m.tree, m.arm, m.scene,
+                                       state, pixels=px))
+    assert base.shape == (px, px, 3)
+    assert base.min() >= 0.0 and base.max() <= 1.0
+    assert base.std() > 0.02          # not a flat image
+
+    # one fat ghost sphere at the scene center must change pixels
+    ghosts = (jnp.array([[0.0, 0.1, 0.05]], jnp.float32),
+              jnp.array([0.08], jnp.float32),
+              jnp.array([[1.0, 0.0, 1.0]], jnp.float32),
+              jnp.array([0.5], jnp.float32))
+    img = np.asarray(rnd.render_state(m.cfg, m.tree, m.arm, m.scene,
+                                      state, pixels=px, ghosts=ghosts))
+    assert np.abs(img - base).max() > 0.05
+    # zero-alpha ghosts are a no-op
+    ghosts0 = (ghosts[0], ghosts[1], ghosts[2],
+               jnp.array([0.0], jnp.float32))
+    img0 = np.asarray(rnd.render_state(m.cfg, m.tree, m.arm, m.scene,
+                                       state, pixels=px, ghosts=ghosts0))
+    np.testing.assert_allclose(img0, base, atol=1e-6)
+
+
+def test_wrapper_sub_goal_ghosts():
+    """visualise_sub_goal → ghost arrays; delete_sub_goal clears them."""
+    from roboticsplayroompybullet_tpu.envs import wrapper
+
+    env = wrapper.make("pandaPlayAbsRPY1Obj-v0")
+    env.reset()
+    ag = np.asarray(env.step(np.zeros(env.cfg.action_dim,
+                                      np.float32))[0]["achieved_goal"])
+    env.visualise_sub_goal(ag, "achieved_goal")
+    pos, rad, col, alp = env._sub_goal_ghosts()
+    assert alp.max() > 0            # block + articulation ghosts active
+    np.testing.assert_allclose(pos[1], ag[:3], atol=1e-6)  # block slot
+    assert alp[2:6].min() > 0       # drawer/door/button/dial slots
+    env.delete_sub_goal()
+    assert env._sub_goal_ghosts()[3].max() == 0
