@@ -1,0 +1,76 @@
+"""LfP consumer: window relabelling, aligned sampling, BC loss descent."""
+import numpy as np
+import jax
+import pytest
+
+from roboticsplayroompybullet_tpu.utils.episodelog import (
+    EpisodeWriter, EpisodeReader)
+from roboticsplayroompybullet_tpu.learn import lfp
+
+FIELDS = {"obs_quat": 6, "action": 2, "achieved_goal": 3}
+
+
+def _make_log(path, n_eps=4, T=30, seed=0):
+    rng = np.random.default_rng(seed)
+    with EpisodeWriter(path, FIELDS) as w:
+        for _ in range(n_eps):
+            w.begin_episode()
+            # learnable structure: action = f(obs, future ag)
+            obs = rng.normal(size=(T, 6)).astype(np.float32)
+            ag = np.cumsum(rng.normal(size=(T, 3)) * 0.1,
+                           axis=0).astype(np.float32)
+            act = (obs[:, :2] * 0.5 + ag[:, :2]).astype(np.float32)
+            w.append_batch({"obs_quat": obs, "action": act,
+                            "achieved_goal": ag})
+            w.end_episode()
+
+
+def test_relabel_windows_shapes_and_goal():
+    B, W = 3, 5
+    obs = np.zeros((B, W, 4), np.float32)
+    act = np.zeros((B, W, 2), np.float32)
+    ag = np.arange(B * W * 3, dtype=np.float32).reshape(B, W, 3)
+    batch = lfp.relabel_windows(obs, act, ag)
+    assert batch["obs"].shape == (B * W, 4)
+    assert batch["act"].shape == (B * W, 2)
+    # every step of window b carries that window's FINAL ag as goal
+    for b in range(B):
+        np.testing.assert_array_equal(
+            batch["goal"][b * W:(b + 1) * W],
+            np.tile(ag[b, -1], (W, 1)))
+
+
+def test_sample_lfp_batch_aligned(tmp_path):
+    p = str(tmp_path / "play.elog")
+    _make_log(p)
+    with EpisodeReader(p, fields=list(FIELDS)) as r:
+        batch = lfp.sample_lfp_batch(r, np.random.default_rng(1),
+                                     batch=8, window=6)
+    assert batch["obs"].shape == (48, 6)
+    assert batch["act"].shape == (48, 2)
+    assert batch["goal"].shape == (48, 3)
+    # alignment: act == obs[:, :2]*0.5 + ag[:, :2] held per STEP, and ag
+    # is recoverable only if windows were drawn from one (ep, t0) — check
+    # the relation using the goal of the final step of each window
+    a_last = batch["act"].reshape(8, 6, 2)[:, -1]
+    o_last = batch["obs"].reshape(8, 6, 2 * 3)[:, -1][:, :2]
+    g = batch["goal"].reshape(8, 6, 3)[:, -1][:, :2]
+    np.testing.assert_allclose(a_last, o_last * 0.5 + g, atol=1e-5)
+
+
+def test_bc_training_loss_decreases(tmp_path):
+    pytest.importorskip("flax")
+    p = str(tmp_path / "play2.elog")
+    _make_log(p, n_eps=6, T=40, seed=2)
+    policy, params, tx, opt_state = lfp.init_training(
+        jax.random.PRNGKey(0), obs_dim=6, goal_dim=3, action_dim=2,
+        action_high=(1.5, 1.5), hidden=(64, 64))
+    step = jax.jit(lfp.make_train_step(policy, tx))
+    rng = np.random.default_rng(3)
+    losses = []
+    with EpisodeReader(p, fields=list(FIELDS)) as r:
+        for i in range(60):
+            batch = lfp.sample_lfp_batch(r, rng, batch=16, window=8)
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])

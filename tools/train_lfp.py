@@ -1,0 +1,73 @@
+"""Train a goal-conditioned BC policy from a collected play log.
+
+End-to-end LfP data path (the reference's downstream use, reference
+README.md:2-10): tools/collect_play.py writes the native episode log;
+this script replays relabelled windows and trains π(a | obs, goal).
+
+  python tools/collect_play.py --env UR5PlayAbsRPY1Obj-v0 \
+      --batch 1024 --steps 200 --out /tmp/play.elog
+  python tools/train_lfp.py --log /tmp/play.elog --steps 2000
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", default="/tmp/play.elog")
+    ap.add_argument("--fields", nargs=3,
+                    default=["obs_quat", "action", "achieved_goal"],
+                    metavar=("OBS", "ACT", "AG"))
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[256, 256])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="/tmp/lfp_policy.npz")
+    args = ap.parse_args()
+
+    from roboticsplayroompybullet_tpu.utils.episodelog import EpisodeReader
+    from roboticsplayroompybullet_tpu.utils.checkpoint import save_pytree
+    from roboticsplayroompybullet_tpu.learn import lfp
+
+    reader = EpisodeReader(args.log, fields=None)
+    # reader field names default to field{i}; honor the --fields order by
+    # index if names are generic
+    if reader.names[0].startswith("field"):
+        reader.names = list(args.fields) + reader.names[len(args.fields):]
+    f_obs, f_act, f_ag = args.fields
+    d = {k: reader.dims[reader.names.index(k)] for k in args.fields}
+    print(f"log: {reader.n_episodes} episodes, dims {d}")
+
+    policy, params, tx, opt_state = lfp.init_training(
+        jax.random.PRNGKey(args.seed), obs_dim=d[f_obs], goal_dim=d[f_ag],
+        action_dim=d[f_act], action_high=[1.0] * d[f_act],
+        lr=args.lr, hidden=tuple(args.hidden))
+    step = jax.jit(lfp.make_train_step(policy, tx))
+
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for i in range(args.steps):
+        batch = lfp.sample_lfp_batch(reader, rng, args.batch, args.window,
+                                     fields=tuple(args.fields))
+        params, opt_state, loss = step(params, opt_state, batch)
+        if i % 100 == 0 or i == args.steps - 1:
+            print(f"step {i:5d}  loss {float(loss):.5f}  "
+                  f"{(i + 1) / (time.time() - t0):.1f} steps/s", flush=True)
+
+    save_pytree(args.out, params)
+    print("saved policy params →", args.out)
+
+
+if __name__ == "__main__":
+    main()
