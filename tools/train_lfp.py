@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--fields", nargs=3,
                     default=["obs_quat", "action", "achieved_goal"],
                     metavar=("OBS", "ACT", "AG"))
+    ap.add_argument("--schema", nargs="+",
+                    default=["obs_quat", "achieved_goal", "desired_goal",
+                             "full_positional_state", "action"],
+                    help="ALL field names in file order (the native log "
+                         "stores dims, not names); default = "
+                         "tools/collect_play.py's schema")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--window", type=int, default=16)
@@ -40,11 +46,9 @@ def main():
     from roboticsplayroompybullet_tpu.utils.checkpoint import save_pytree
     from roboticsplayroompybullet_tpu.learn import lfp
 
-    reader = EpisodeReader(args.log, fields=None)
-    # reader field names default to field{i}; honor the --fields order by
-    # index if names are generic
-    if reader.names[0].startswith("field"):
-        reader.names = list(args.fields) + reader.names[len(args.fields):]
+    reader = EpisodeReader(args.log, fields=args.schema)
+    assert len(reader.names) == len(reader.dims), \
+        f"--schema names {len(reader.names)} != file fields {len(reader.dims)}"
     f_obs, f_act, f_ag = args.fields
     d = {k: reader.dims[reader.names.index(k)] for k in args.fields}
     print(f"log: {reader.n_episodes} episodes, dims {d}")
