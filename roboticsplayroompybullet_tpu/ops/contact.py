@@ -147,7 +147,11 @@ def sphere_aabox(center, radius, box_pos, box_half):
     one_hot = jnp.eye(3, dtype=d.dtype)[ax]
     n_in = one_hot * jnp.sign(jnp.take_along_axis(d, ax[..., None], -1))
     radius = jnp.asarray(radius, center.dtype)
-    inside = dist < 1e-9
+    # safe_norm floors at sqrt(eps)=1e-6, so the inside test must sit
+    # ABOVE that floor or fully-interior centers get ZERO normals (and the
+    # impulse solver silently no-ops: a pad sunk into the playroom button
+    # pressed nothing). 1e-5 m of exterior distance is sub-contact-scale.
+    inside = dist < 1e-5
     normal = jnp.where(inside[..., None], n_in, n_out)
     depth = jnp.where(inside, radius + jnp.min(gap, axis=-1), radius - dist)
     point = center - normal * radius[..., None]

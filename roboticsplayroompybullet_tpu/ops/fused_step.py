@@ -398,7 +398,7 @@ def lane_sphere_aabox(c, r, box_pos, box_half):
     n_in = jnp.stack([jnp.where(a0, _sign(d[0]), 0.0),
                       jnp.where(a1, _sign(d[1]), 0.0),
                       jnp.where(a2, _sign(d[2]), 0.0)])
-    inside = dist < 1e-9
+    inside = dist < 1e-5   # above the 1e-6 norm floor (contact.sphere_aabox)
     normal = jnp.where(inside[None], n_in, n_out)
     depth = jnp.where(inside, r + gmin, r - dist)
     point = c - normal * r

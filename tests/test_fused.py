@@ -148,3 +148,27 @@ def test_pallas_rollout_interpret_matches_stepwise():
     np.testing.assert_allclose(np.asarray(Xr), np.asarray(Xs), atol=1e-5)
     ag_dim = (7 if m.cfg.use_orientation else 3) * m.cfg.num_objects
     assert ags.shape == (H, ag_dim, B)   # pick env: obj pos
+
+
+def test_sphere_box_interior_normal():
+    """A sphere center fully INSIDE a box must get a unit min-axis normal,
+    not a zero vector (zero normals made the impulse solver silently
+    no-op: a gripper pad sunk into the playroom button pressed nothing).
+    Covers both twins: contact.sphere_aabox and lane_sphere_aabox."""
+    from roboticsplayroompybullet_tpu.ops import contact as ct
+
+    center = jnp.array([0.006, 0.003, -0.003], jnp.float32)
+    half = jnp.array([0.02, 0.02, 0.005], jnp.float32)
+    cs = ct.sphere_aabox(center, 0.008, jnp.zeros(3), half)
+    n = np.asarray(cs.normal)
+    np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-6)
+    np.testing.assert_allclose(n, [0.0, 0.0, -1.0], atol=1e-6)  # min gap: z
+    assert float(cs.depth) == pytest.approx(0.008 + 0.002, abs=1e-6)
+
+    # lane twin (lanes trailing axis)
+    c_l = center[:, None]
+    p, n_l, d = fs.lane_sphere_aabox(c_l, 0.008, np.zeros((3, 1), np.float32),
+                                     np.asarray(half)[:, None])
+    np.testing.assert_allclose(np.asarray(n_l)[:, 0], [0.0, 0.0, -1.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(float(d[0]), 0.008 + 0.002, atol=1e-6)
