@@ -159,3 +159,26 @@ def test_batched_env_matches_shapes():
     obs, r, done, info = env.step(a)
     assert r.shape == (4,)
     assert obs["achieved_goal"].shape == (4, 3)
+
+
+def test_play_button_press():
+    """Active manipulation: scripted descent onto the playroom button
+    depresses it past the toggle threshold (updateToggles,
+    environments.py:469-483: pressed when < 0.025; sprung rest 0.03).
+    Regression guard for the interior-contact-normal fix."""
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+    from roboticsplayroompybullet_tpu.envs import core
+
+    m = core.build_model(CATALOG["pandaPlayAbsRPY1Obj-v0"])
+    state, obs = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(0))
+    btn = np.asarray(m.scene.art_anchor[2])
+    step = jax.jit(lambda s, a: core.step(m, s, a))
+    rpy = (np.pi, 0.0, -np.pi / 2)   # feasible downward yaw at the button
+    min_btn = 1.0
+    for z, n in ((btn[2] + 0.15, 30), (btn[2] + 0.012, 40)):
+        a = jnp.asarray([btn[0], btn[1], z, *rpy, 1.0], jnp.float32)
+        for _ in range(n):
+            state, obs, r, info = step(state, a)
+            min_btn = min(min_btn,
+                          float(np.asarray(obs["achieved_goal"])[9]))
+    assert min_btn < 0.025, min_btn
