@@ -182,3 +182,39 @@ def test_play_button_press():
             min_btn = min(min_btn,
                           float(np.asarray(obs["achieved_goal"])[9]))
     assert min_btn < 0.025, min_btn
+
+
+def test_pick_grasp_and_lift():
+    """Active manipulation: staged approach (up → over → slow descend),
+    close, lift — the block must rise with the gripper (>5 cm). Exercises
+    pad-block contact incl. deep-penetration normals end-to-end."""
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+    from roboticsplayroompybullet_tpu.envs import core
+    from roboticsplayroompybullet_tpu.ops import kinematics as K, spatial as sp
+
+    m = core.build_model(CATALOG["pandaPick-v0"])
+    state, obs = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(3))
+    step = jax.jit(lambda s, a: core.step(m, s, a))
+    rest = jnp.zeros(m.tree.n_dof, jnp.float32).at[:m.arm.n_arm].set(
+        jnp.asarray(m.arm.rest_pose, jnp.float32))
+    _, q0, _ = K.site_pose_and_jacobian(m.tree, rest, m.arm.ee_site)
+    rpy = tuple(float(x) for x in np.asarray(sp.quat_to_euler(q0)))
+
+    def go(st, pos, grip, n):
+        a = jnp.asarray([*pos, *rpy, grip], jnp.float32)
+        for _ in range(n):
+            st, obs, r, info = step(st, a)
+        return st, obs
+
+    b = np.asarray(state.obj_pos[0])
+    ee0 = np.asarray(obs["controllable_achieved_goal"])[:3]
+    st, obs = go(state, (ee0[0], ee0[1], 0.15), -1.0, 20)    # up
+    st, obs = go(st, (b[0], b[1], 0.15), -1.0, 25)           # over
+    for zt in np.arange(0.12, b[2] + 0.005, -0.03):          # slow descend
+        st, obs = go(st, (b[0], b[1], zt), -1.0, 8)
+    st, obs = go(st, (b[0], b[1], b[2] + 0.008), -1.0, 20)
+    st, obs = go(st, (b[0], b[1], b[2] + 0.008), 1.0, 15)    # close
+    z0 = float(np.asarray(st.obj_pos[0])[2])
+    st, obs = go(st, (b[0], b[1], b[2] + 0.15), 1.0, 35)     # lift
+    lifted = float(np.asarray(st.obj_pos[0])[2]) - z0
+    assert lifted > 0.05, lifted
