@@ -256,3 +256,34 @@ def test_play_drawer_opens():
     st, obs = go(st, (handle[0], handle[1] - 0.15, handle[2] + 0.01),
                  1.0, 40)
     assert float(st.art_q[0]) < -0.03, float(st.art_q[0])
+
+
+def test_play_door_slides():
+    """Active manipulation: sweep the fist through the door handle; the
+    prismatic door state must displace past the 0.04 success threshold
+    (playRewardFunc.py:40-41)."""
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+    from roboticsplayroompybullet_tpu.envs import core
+    from roboticsplayroompybullet_tpu.ops import kinematics as K, spatial as sp
+
+    m = core.build_model(CATALOG["pandaPlayAbsRPY1Obj-v0"])
+    state, obs = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(0))
+    step = jax.jit(lambda s, a: core.step(m, s, a))
+    rest = jnp.zeros(m.tree.n_dof, jnp.float32).at[:m.arm.n_arm].set(
+        jnp.asarray(m.arm.rest_pose, jnp.float32))
+    _, q0, _ = K.site_pose_and_jacobian(m.tree, rest, m.arm.ee_site)
+    rpy = tuple(float(x) for x in np.asarray(sp.quat_to_euler(q0)))
+    handle = np.asarray(m.scene.art_anchor[1]) + \
+        np.asarray(m.scene.art_boxes_pos[1, 1])
+
+    def go(st, pos, grip, n):
+        a = jnp.asarray([*pos, *rpy, grip], jnp.float32)
+        for _ in range(n):
+            st, obs, r, info = step(st, a)
+        return st, obs
+
+    ee0 = np.asarray(obs["controllable_achieved_goal"])[:3]
+    st, obs = go(state, (ee0[0], ee0[1], 0.16), -1.0, 20)
+    st, obs = go(st, (handle[0] - 0.05, handle[1], handle[2]), 1.0, 35)
+    st, obs = go(st, (handle[0] + 0.12, handle[1], handle[2]), 1.0, 40)
+    assert abs(float(st.art_q[1])) > 0.04, float(st.art_q[1])
