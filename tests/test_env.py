@@ -287,3 +287,37 @@ def test_play_door_slides():
     st, obs = go(st, (handle[0] - 0.05, handle[1], handle[2]), 1.0, 35)
     st, obs = go(st, (handle[0] + 0.12, handle[1], handle[2]), 1.0, 40)
     assert abs(float(st.art_q[1])) > 0.04, float(st.art_q[1])
+
+
+def test_play_dial_spins():
+    """Active manipulation: sweep the fist across the dial paddle's top
+    edge (center push has no moment arm — the paddle is centered on the
+    revolute anchor); the dial must rotate past the 0.3 success threshold
+    in the mapped 0..1 space (playRewardFunc.py:55, scenes.py:342-343)."""
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+    from roboticsplayroompybullet_tpu.envs import core
+    from roboticsplayroompybullet_tpu.ops import kinematics as K, spatial as sp
+
+    m = core.build_model(CATALOG["pandaPlayAbsRPY1Obj-v0"])
+    state, obs = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(0))
+    step = jax.jit(lambda s, a: core.step(m, s, a))
+    rest = jnp.zeros(m.tree.n_dof, jnp.float32).at[:m.arm.n_arm].set(
+        jnp.asarray(m.arm.rest_pose, jnp.float32))
+    _, q0, _ = K.site_pose_and_jacobian(m.tree, rest, m.arm.ee_site)
+    rpy = tuple(float(x) for x in np.asarray(sp.quat_to_euler(q0)))
+    anchor = np.asarray(m.scene.art_anchor[3])
+
+    def go(st, pos, grip, n):
+        a = jnp.asarray([*pos, *rpy, grip], jnp.float32)
+        for _ in range(n):
+            st, obs, r, info = step(st, a)
+        return st, obs
+
+    ee0 = np.asarray(obs["controllable_achieved_goal"])[:3]
+    st, obs = go(state, (ee0[0], ee0[1], 0.16), 1.0, 20)
+    st, obs = go(st, (anchor[0] - 0.08, anchor[1], anchor[2] + 0.025),
+                 1.0, 35)
+    st, obs = go(st, (anchor[0] + 0.08, anchor[1], anchor[2] + 0.025),
+                 1.0, 40)
+    mapped = (float(st.art_q[3]) % 2.0) * np.pi / (2.2 * np.pi)
+    assert mapped > 0.3, (float(st.art_q[3]), mapped)
