@@ -172,3 +172,10 @@ def test_sphere_box_interior_normal():
     np.testing.assert_allclose(np.asarray(n_l)[:, 0], [0.0, 0.0, -1.0],
                                atol=1e-6)
     np.testing.assert_allclose(float(d[0]), 0.008 + 0.002, atol=1e-6)
+
+
+def test_fused_sim_matches_two_object_play():
+    """2-object complex scene (pandaPlay-v0): block-block contact rows +
+    full articulation in the lane program vs the vmap oracle."""
+    m, states = _setup("pandaPlay-v0")
+    _compare_sim(m, states, atol=1e-4)
