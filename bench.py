@@ -30,6 +30,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat bench runs skip the ~10 min XLA
+# compile on this 1-core host (works for both the cpu and tpu backends)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_cache_playroom"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def main():
     from roboticsplayroompybullet_tpu.envs.config import CATALOG
