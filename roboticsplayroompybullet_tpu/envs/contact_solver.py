@@ -47,6 +47,14 @@ class ContactRows(NamedTuple):
     art: jnp.ndarray       # (C,) int32 articulated object (side B when a
                            #       block is present, else side A)
     grip: jnp.ndarray      # (C,) int32 gripper slot on side B (pad rows)
+    pad: jnp.ndarray       # (C,) int32 pad index for ARM-COUPLED rows
+                           #       (pad-vs-world): the row's impulse also
+                           #       corrects the arm-joint velocities
+                           #       through the pad's point Jacobian, so a
+                           #       servo-driven finger STOPS at the table
+                           #       instead of penalty-springing through it
+                           #       (Bullet gets this by solving arm+world
+                           #       jointly; motors cap the push-back)
 
 
 class SolveResult(NamedTuple):
@@ -54,6 +62,8 @@ class SolveResult(NamedTuple):
     obj_angvel: jnp.ndarray   # (n_obj,3)
     art_qd: jnp.ndarray       # (4,)
     grip_qd: jnp.ndarray      # (G,) post-impulse gripper-driver velocities
+    arm_dqd: jnp.ndarray      # (n_arm,) arm-joint velocity correction from
+                              #       arm-coupled rows (zeros when absent)
 
 
 def _tangent_basis(n):
@@ -73,15 +83,20 @@ def solve(rows: ContactRows,
           art_anchor, art_axis, art_revolute_mask, inv_m_art, art_qd,
           grip_u, inv_m_grip, grip_qd,      # (G,3), (G,), (G,)
           dt: float,
+          pad_J=None, inv_D_arm=None,       # (P,3,n_arm), (n_arm,)
           iters: int = 16, relax: float = 1.0,
           beta: float = 0.2, slop: float = 5e-4,
           v_push_max: float = 0.05):
     """Returns SolveResult. All velocity inputs are post-free-update
-    (gravity, scene motors, arm servo already applied)."""
+    (gravity, scene motors, arm servo already applied). pad_J/inv_D_arm
+    enable arm-coupled rows (rows.pad >= 0): the pad's world point
+    Jacobian over the arm joints and the ABA diagonal inverse inertia."""
     C = rows.depth.shape[0]
     n_obj = obj_pos.shape[0]
     G = grip_u.shape[0]
     f32 = rows.normal.dtype
+    n_arm = inv_D_arm.shape[0] if inv_D_arm is not None else 0
+    arm_coupled = pad_J is not None
     # host (numpy) constants arrive here but get gathered with traced row
     # indices — lift to traced literals (cheap: embedded in the executable)
     art_anchor = jnp.asarray(art_anchor)
@@ -100,10 +115,15 @@ def solve(rows: ContactRows,
     has_b = rows.blk_b >= 0
     has_art = rows.art >= 0
     has_grip = rows.grip >= 0
+    has_pad = (rows.pad >= 0) if arm_coupled else jnp.zeros(C, bool)
     a_idx = jnp.maximum(rows.blk_a, 0)
     b_idx = jnp.maximum(rows.blk_b, 0)
     k_idx = jnp.maximum(rows.art, 0)
     g_idx = jnp.maximum(rows.grip, 0)
+    if arm_coupled:
+        p_idx = jnp.maximum(rows.pad, 0)
+        J_rows = jnp.asarray(pad_J)[p_idx]            # (C,3,n_arm)
+        inv_D_arm = jnp.asarray(inv_D_arm)
 
     r_a = rows.point - obj_pos[a_idx]
     r_b = rows.point - obj_pos[b_idx]
@@ -130,6 +150,8 @@ def solve(rows: ContactRows,
     split_b = jnp.maximum(cnt_blk[b_idx], 1.0)
     split_k = jnp.maximum(cnt_art[k_idx], 1.0)
     split_g = jnp.maximum(cnt_grip[g_idx], 1.0)
+    # all arm-coupled rows share ONE body (the arm chain)
+    split_arm = jnp.maximum(jnp.sum(af * has_pad), 1.0)
 
     def k_dir(d):
         """Split inverse effective mass along direction d (C,3)."""
@@ -148,6 +170,10 @@ def solve(rows: ContactRows,
         k += jnp.where(has_art, ja * ja * inv_m_art[k_idx] * split_k, 0.0)
         jg = jnp.sum(u_g * d, axis=-1)
         k += jnp.where(has_grip, jg * jg * inv_m_grip[g_idx] * split_g, 0.0)
+        if arm_coupled:
+            jd = jnp.einsum("ci,cij->cj", d, J_rows)          # (C,n_arm)
+            k += jnp.where(has_pad,
+                           (jd * jd) @ inv_D_arm * split_arm, 0.0)
         return jnp.maximum(k, 1e-8)
 
     t1, t2 = _tangent_basis(rows.normal)
@@ -155,7 +181,7 @@ def solve(rows: ContactRows,
     k_t1 = k_dir(t1)
     k_t2 = k_dir(t2)
 
-    def rel_vel(ov, ow, aqd, gqd):
+    def rel_vel(ov, ow, aqd, gqd, adqd):
         v_a = jnp.where(has_a[:, None],
                         ov[a_idx] + jnp.cross(ow[a_idx], r_a), 0.0)
         v_b = jnp.where(has_b[:, None],
@@ -164,11 +190,16 @@ def solve(rows: ContactRows,
         v_grip = jnp.where(has_grip[:, None], u_g * gqd[g_idx][:, None], 0.0)
         vB = v_b + jnp.where((has_art & has_a)[:, None], v_art, 0.0) \
             + v_grip + rows.v_kin
+        if arm_coupled:
+            # dynamic arm correction on the pad side (baseline arm motion
+            # is already in v_kin; adqd starts at 0)
+            vB = vB + jnp.where(has_pad[:, None],
+                                jnp.einsum("cij,j->ci", J_rows, adqd), 0.0)
         vA = jnp.where(has_a[:, None], v_a,
                        jnp.where(has_art[:, None], v_art, 0.0))
         return vA - vB
 
-    def apply_impulses(ov, ow, aqd, gqd, imp):
+    def apply_impulses(ov, ow, aqd, gqd, adqd, imp):
         """imp: (C,3) world impulse on side A (−imp on side B)."""
         impA = jnp.where(has_a[:, None], imp, 0.0)
         dv = impA * inv_m_blk[a_idx][:, None]
@@ -190,7 +221,13 @@ def solve(rows: ContactRows,
         jg_imp = -jnp.sum(u_g * imp, axis=-1)
         dgqd = jnp.where(has_grip, jg_imp * inv_m_grip[g_idx], 0.0)
         gqd = gqd + jax.ops.segment_sum(dgqd, g_idx, G)
-        return ov, ow, aqd, gqd
+        if arm_coupled:
+            # arm chain (side B): generalized impulse J^T(−imp) · D⁻¹
+            # (einsum over rows; single shared body, no segmenting needed)
+            j_arm = jnp.einsum("ci,cij->cj", imp, J_rows)      # (C,n_arm)
+            adqd = adqd - (jnp.where(has_pad[:, None], j_arm, 0.0)
+                           .sum(axis=0)) * inv_D_arm
+        return ov, ow, aqd, gqd, adqd
 
     def gear_project(gqd):
         """Equality coupling qd_0 == qd_1 between the two gripper drivers —
@@ -205,8 +242,8 @@ def solve(rows: ContactRows,
         return gqd.at[0].add(-p * w0).at[1].add(p * w1)
 
     def body(carry, _):
-        ov, ow, aqd, gqd, lam_n, lam_t1, lam_t2 = carry
-        v_rel = rel_vel(ov, ow, aqd, gqd)
+        ov, ow, aqd, gqd, adqd, lam_n, lam_t1, lam_t2 = carry
+        v_rel = rel_vel(ov, ow, aqd, gqd, adqd)
         vn = jnp.sum(v_rel * rows.normal, axis=-1)
         dln = relax * (v_target - vn) / k_n
         new_ln = jnp.maximum(lam_n + dln, 0.0) * active
@@ -221,12 +258,14 @@ def solve(rows: ContactRows,
         imp = (dln[:, None] * rows.normal
                + (new_lt1 - lam_t1)[:, None] * t1
                + (new_lt2 - lam_t2)[:, None] * t2)
-        ov, ow, aqd, gqd = apply_impulses(ov, ow, aqd, gqd, imp)
+        ov, ow, aqd, gqd, adqd = apply_impulses(ov, ow, aqd, gqd, adqd, imp)
         gqd = gear_project(gqd)
-        return (ov, ow, aqd, gqd, new_ln, new_lt1, new_lt2), None
+        return (ov, ow, aqd, gqd, adqd, new_ln, new_lt1, new_lt2), None
 
     zeros = jnp.zeros(C, f32)
-    (ov, ow, aqd, gqd, _, _, _), _ = jax.lax.scan(
-        body, (obj_vel, obj_angvel, art_qd, grip_qd, zeros, zeros, zeros),
+    adqd0 = jnp.zeros(max(n_arm, 1), f32)
+    (ov, ow, aqd, gqd, adqd, _, _, _), _ = jax.lax.scan(
+        body, (obj_vel, obj_angvel, art_qd, grip_qd, adqd0,
+               zeros, zeros, zeros),
         None, length=iters)
-    return SolveResult(ov, ow, aqd, gqd)
+    return SolveResult(ov, ow, aqd, gqd, adqd)

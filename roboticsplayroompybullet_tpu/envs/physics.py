@@ -80,6 +80,35 @@ def art_box_pose(scene: Scene, k: int, art_q):
     return pos, quat
 
 
+def pad_point_jacobians(tree: KineTree, arm: ArmConfig, kin: dyn.LinkKin,
+                        pads_c) -> jnp.ndarray:
+    """(P, 3, n_arm) world point Jacobians of the pad centers w.r.t. the
+    ARM joints (gripper drivers excluded — they stay separate solver
+    participants via grip_u). Ancestor masks are host-static."""
+    n_arm = arm.n_arm
+    cols_all = []
+    for p, (site, _, _) in enumerate(arm.pad_spheres):
+        par = tree.site_parent[site]
+        anc = set()
+        i = par
+        while i >= 0:
+            anc.add(i)
+            i = tree.parent[i]
+        cols = []
+        for j in range(n_arm):
+            if j not in anc:
+                cols.append(jnp.zeros(3, jnp.float32))
+                continue
+            a_w = sp.quat_rotate(kin.quat[j],
+                                 jnp.asarray(tree.axis[j], jnp.float32))
+            if tree.jtype[j] == 0:          # revolute
+                cols.append(jnp.cross(a_w, pads_c[p] - kin.pos[j]))
+            else:                           # prismatic
+                cols.append(a_w)
+        cols_all.append(jnp.stack(cols, axis=-1))      # (3, n_arm)
+    return jnp.stack(cols_all)                         # (P, 3, n_arm)
+
+
 class Geometry(NamedTuple):
     rows: solver.ContactRows
     pads_c: jnp.ndarray
@@ -88,6 +117,7 @@ class Geometry(NamedTuple):
     grip_slots: tuple       # gripper slot per pad
     grip_dofs: tuple        # reduced dof per gripper slot
     kin: dyn.LinkKin
+    pad_J: jnp.ndarray      # (P,3,n_arm) pad point Jacobians (arm joints)
 
 
 def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
@@ -115,10 +145,11 @@ def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     nK = scene.art_boxes_pos.shape[1] if scene.has_articulated else 0
 
     pts, nrm, dep, vkin, mus = [], [], [], [], []
-    blk_a, blk_b, art_i, pad_i = [], [], [], []
+    blk_a, blk_b, art_i, pad_i, padj_i = [], [], [], [], []
 
-    def add(cs, v_kin, mu, a=-1, b=-1, k=-1, pad=-1, valid=None):
-        # `pad` here carries the GRIPPER SLOT for pad rows
+    def add(cs, v_kin, mu, a=-1, b=-1, k=-1, pad=-1, padj=-1, valid=None):
+        # `pad` here carries the GRIPPER SLOT for pad rows; `padj` the pad
+        # INDEX for arm-coupled pad-vs-world rows (contact_solver rows.pad)
         n = cs.depth.reshape(-1).shape[0]
         pts.append(cs.point.reshape(-1, 3))
         nrm.append(cs.normal.reshape(-1, 3))
@@ -133,6 +164,7 @@ def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         blk_b.append(np.full(n, b, np.int32))
         art_i.append(np.full(n, k, np.int32))
         pad_i.append(np.full(n, pad, np.int32))
+        padj_i.append(np.full(n, padj, np.int32))
 
     mu_world = scene.block_fric * 0.5   # bullet combines μ multiplicatively
     mu_pad = scene.block_fric           # pads μ≈1 (panda.urdf:259-287)
@@ -228,13 +260,29 @@ def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                 add(deepest(cs, 1), pads_v_nog[p], 0.6, k=k,
                     pad=grip_slots[p])
 
+    # pads vs WORLD (floor + deepest static), arm-coupled: these rows let
+    # contact stop the servo-driven arm (fingers rest ON the table/cabinet
+    # instead of penalty-springing through; Bullet solves arm+world jointly)
+    for p in range(n_pads):
+        cs = ct.sphere_halfspace(pads_c[p][None], pads_r[p], scene.plane_z)
+        cs = ct.ContactSet(cs.point, -cs.normal, cs.depth)
+        add(cs, pads_v_nog[p], 0.6, pad=grip_slots[p], padj=p)
+        if n_static > 0:
+            cs = ct.sphere_aabox(pads_c[p][None], pads_r[p],
+                                 scene.static_pos, scene.static_half)
+            cs = ct.ContactSet(cs.point[None], -cs.normal[None],
+                               cs.depth[None])
+            add(deepest(cs, 1), pads_v_nog[p], 0.6,
+                pad=grip_slots[p], padj=p)
+
     if not pts:
-        # reach envs: no dynamic bodies at all — one inert row
+        # reach envs with no statics: one inert row
         add(ct.ContactSet(jnp.zeros((1, 3)),
                           jnp.zeros((1, 3)).at[:, 2].set(1.0),
                           -jnp.ones(1)),
             jnp.zeros(3), 0.5)
 
+    pad_J = pad_point_jacobians(tree, arm, kin, pads_c)
     rows = solver.ContactRows(
         point=jnp.concatenate(pts), normal=jnp.concatenate(nrm),
         depth=jnp.concatenate(dep), v_kin=jnp.concatenate(vkin),
@@ -243,9 +291,10 @@ def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         blk_b=jnp.asarray(np.concatenate(blk_b)),
         art=jnp.asarray(np.concatenate(art_i)),
         grip=jnp.asarray(np.concatenate(pad_i)),
+        pad=jnp.asarray(np.concatenate(padj_i)),
     )
     return Geometry(rows, pads_c, pads_v, pad_dofs, grip_slots, grip_dofs,
-                    kin)
+                    kin, pad_J)
 
 
 def gripper_targets(arm: ArmConfig, tree: KineTree, q, grip_cmd, dt):
@@ -278,33 +327,14 @@ def physics_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     n_obj = cfg.num_objects
     g = jnp.array([0.0, 0.0, -9.8], jnp.float32)
 
-    # ---- arm first: ABA (with pads-vs-world penalty) + servos ------------
+    # ---- arm first: ABA + servos ----------------------------------------
+    # pads-vs-world contact lives in arm-coupled IMPULSE rows in the solve
+    # below (gather_contacts pad-vs-world block) — penalty forces could not
+    # resist the 240 N servo (fingers pushed through the table); impulses
+    # with the arm chain as a solver participant can.
     kin = dyn.fk_vel(tree, state.q, state.qd)
-    pads_c0, pads_v0, pads_r, pad_dofs = pad_sphere_kinematics(tree, arm, kin)
 
-    f_ext = jnp.zeros((tree.n_dof, 6), jnp.float32)
-
-    def add_pad_force(f_ext, p, force):
-        dof = pad_dofs[p]
-        torque = jnp.cross(pads_c0[p] - kin.pos[dof], force)
-        return f_ext.at[dof].add(jnp.concatenate([torque, force]))
-
-    cs = ct.sphere_halfspace(pads_c0, pads_r, scene.plane_z)
-    f = ct.contact_force(cs, pads_v0, mu=0.6, params=PAD_WORLD_PARAMS)
-    for p in range(pads_c0.shape[0]):
-        f_ext = add_pad_force(f_ext, p, f[p])
-    if scene.static_pos.shape[0] > 0:
-        cs = ct.sphere_aabox(pads_c0[:, None, :], pads_r[:, None],
-                             scene.static_pos[None], scene.static_half[None])
-        f = ct.contact_force(cs, pads_v0[:, None, :],
-                             mu=scene.static_fric[None],
-                             params=PAD_WORLD_PARAMS)
-        f = jnp.sum(f, axis=1)
-        for p in range(pads_c0.shape[0]):
-            f_ext = add_pad_force(f_ext, p, f[p])
-
-    aba = dyn.aba(tree, state.q, state.qd, jnp.zeros(tree.n_dof),
-                  f_ext_world=f_ext)
+    aba = dyn.aba(tree, state.q, state.qd, jnp.zeros(tree.n_dof))
     qd_free = state.qd + dt * aba.qdd
     g_target, g_force = gripper_targets(arm, tree, state.q, state.grip, dt)
     target = g_target.at[:n_arm].set(state.ctrl_q)
@@ -349,16 +379,20 @@ def physics_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                             for d in geo.grip_dofs])
     grip_qd = jnp.stack([qd_arm[d] for d in geo.grip_dofs])
 
+    inv_D_arm = 1.0 / jnp.maximum(aba.D[:n_arm], 1e-4)
     res = solver.solve(
         geo.rows, state.obj_pos, obj_vel, obj_angvel,
         inv_m, inv_I_world,
         scene.art_anchor, scene.art_axis, rev_mask, 1.0 / m_eff, art_qd,
-        grip_u, inv_m_grip, grip_qd, dt)
+        grip_u, inv_m_grip, grip_qd, dt,
+        pad_J=geo.pad_J, inv_D_arm=inv_D_arm)
     art_qd = res.art_qd
 
-    # write solved gripper-driver velocities back into the arm
+    # write solved gripper-driver velocities back into the arm, and apply
+    # the arm-coupled contact correction (pad-vs-world rows)
     for slot, d in enumerate(geo.grip_dofs):
         qd_arm = qd_arm.at[d].set(res.grip_qd[slot])
+    qd_arm = qd_arm.at[:n_arm].add(res.arm_dqd)
 
     # ---- integrate -------------------------------------------------------
     q_new = state.q + dt * qd_arm

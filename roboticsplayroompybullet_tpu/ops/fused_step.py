@@ -512,6 +512,8 @@ class Bundle(NamedTuple):
     b: int = -1
     k: int = -1
     g: int = -1
+    pj: int = -1   # pad index: ARM-COUPLED pad-vs-world row (solver also
+                   # corrects arm-joint velocities via the pad Jacobian)
 
 
 def _real_boxes(scene: Scene, k: int):
@@ -652,7 +654,49 @@ def gather_bundles(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                                       pads_v_nog[p][:, None], 0.6,
                                       k=k, g=grip_slots[p]))
 
-    aux = dict(grip_dofs=grip_dofs, grip_slots=grip_slots, u_g=u_g)
+    # pads vs WORLD (floor + deepest static), ARM-COUPLED — mirrors
+    # physics.gather_contacts' pad-vs-world block
+    for p in range(n_pads):
+        nrm = cvec(np.array([0, 0, 1], f32), tpl)
+        dep = float(pads_r[p]) - (pads_c[p][2] - float(scene.plane_z))
+        pt = pads_c[p] - nrm * float(pads_r[p])
+        bundles.append(Bundle(pt[:, None], -nrm[:, None], dep[None],
+                              pads_v_nog[p][:, None], 0.6,
+                              g=grip_slots[p], pj=p))
+        S_n = scene.static_pos.shape[0]
+        if S_n > 0:
+            bp = cvec(scene.static_pos.T, tpl)          # (3,Sn,S,L)
+            bh = cvec(scene.static_half.T, tpl)
+            p_, n_, d_ = lane_sphere_aabox(pads_c[p][:, None],
+                                           pads_r[p], bp, bh)
+            pt, nm, dp = lane_deepest(p_, -n_, d_, axis=0)
+            bundles.append(Bundle(pt[:, None], nm[:, None], dp[None],
+                                  pads_v_nog[p][:, None], 0.6,
+                                  g=grip_slots[p], pj=p))
+
+    # pad point Jacobians over the ARM joints (physics.pad_point_jacobians)
+    pad_J = []
+    for p, (site, _, _) in enumerate(arm.pad_spheres):
+        par = tree.site_parent[site]
+        anc = set()
+        i = par
+        while i >= 0:
+            anc.add(i)
+            i = tree.parent[i]
+        cols = []
+        for j in range(arm.n_arm):
+            if j not in anc:
+                cols.append(None)
+                continue
+            a_w = ln.quat_rotate(kin2.quat[j], cvec(tree.axis[j], tpl))
+            if tree.jtype[j] == REVOLUTE:
+                cols.append(ln.cross(a_w, pads_c[p] - kin2.pos[j]))
+            else:
+                cols.append(a_w)
+        pad_J.append(cols)                # list P of list n_arm of (3,S,L)
+
+    aux = dict(grip_dofs=grip_dofs, grip_slots=grip_slots, u_g=u_g,
+               pad_J=pad_J)
     return bundles, aux
 
 
@@ -663,11 +707,14 @@ def gather_bundles(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
 def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
                st: dict, inv_I_world, inv_m_blk,
                u_g, inv_m_grip, grip_qd0, art_qd0, dt: float,
+               pad_J=None, inv_D_arm=None,
                iters: int = 16, relax: float = 1.0, beta: float = 0.2,
                slop: float = 5e-4, v_push_max: float = 0.05):
     n_obj = cfg.num_objects
     G = len(u_g)
     lane_shape = st["art_q"].shape[1:]
+    arm_coupled = pad_J is not None
+    n_arm = len(inv_D_arm) if arm_coupled else 0
 
     # per-bundle precomputation (positions fixed during the velocity solve)
     pre = []
@@ -704,6 +751,7 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
     cnt_blk = [jnp.zeros(lane_shape, jnp.float32) for _ in range(max(n_obj, 1))]
     cnt_art = [jnp.zeros(lane_shape, jnp.float32) for _ in range(4)]
     cnt_grip = [jnp.zeros(lane_shape, jnp.float32) for _ in range(max(G, 1))]
+    cnt_arm = jnp.zeros(lane_shape, jnp.float32)
     for bd, pr in zip(bundles, pre):
         s = jnp.sum(pr["af"], axis=0)
         if bd.a >= 0:
@@ -714,6 +762,8 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
             cnt_art[bd.k] = cnt_art[bd.k] + s
         if bd.g >= 0:
             cnt_grip[bd.g] = cnt_grip[bd.g] + s
+        if bd.pj >= 0:
+            cnt_arm = cnt_arm + s
 
     inv_m_art = [1.0 / float(scene.art_mass[k]) for k in range(4)]
 
@@ -737,6 +787,14 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
             jg = ln.dot(u_g[bd.g][:, None], d)
             k = _acc(k, jg * jg * inv_m_grip[bd.g][None]
                      * jnp.maximum(cnt_grip[bd.g], 1.0)[None])
+        if bd.pj >= 0 and arm_coupled:
+            split = jnp.maximum(cnt_arm, 1.0)[None]
+            for j in range(n_arm):
+                col = pad_J[bd.pj][j]
+                if col is None:
+                    continue
+                jd = ln.dot(col[:, None], d)
+                k = _acc(k, jd * jd * inv_D_arm[j][None] * split)
         return jnp.maximum(k, 1e-8)
 
     for bd, pr in zip(bundles, pre):
@@ -744,7 +802,7 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
         pr["k_t1"] = k_dir(bd, pr, pr["t1"])
         pr["k_t2"] = k_dir(bd, pr, pr["t2"])
 
-    def rel_vel(bd, pr, ov, ow, aqd, gqd):
+    def rel_vel(bd, pr, ov, ow, aqd, gqd, adqd):
         zero = 0.0
         v_a = (ov[bd.a][:, None] + ln.cross(ow[bd.a][:, None], pr["r_a"])
                ) if bd.a >= 0 else None
@@ -759,6 +817,12 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
             vB = _acc(vB, v_art)
         if v_grip is not None:
             vB = _acc(vB, v_grip)
+        if bd.pj >= 0 and arm_coupled:
+            # dynamic arm correction on the pad side (baseline in vkin)
+            for j in range(n_arm):
+                col = pad_J[bd.pj][j]
+                if col is not None:
+                    vB = _acc(vB, col[:, None] * adqd[j][None])
         if bd.vkin is not None:
             vB = _acc(vB, bd.vkin)
         if bd.a >= 0:
@@ -774,15 +838,16 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
         return vA - vB
 
     def body(carry):
-        ov, ow, aqd, gqd, lams = carry
+        ov, ow, aqd, gqd, adqd, lams = carry
         d_ov = [jnp.zeros_like(v) for v in ov]
         d_ow = [jnp.zeros_like(v) for v in ow]
         d_aqd = [jnp.zeros_like(aqd[0]) for _ in range(4)]
         d_gqd = [jnp.zeros_like(g) for g in gqd]
+        d_arm = [jnp.zeros_like(aqd[0]) for _ in range(max(n_arm, 1))]
         new_lams = []
         for bi, (bd, pr) in enumerate(zip(bundles, pre)):
             ln_, lt1, lt2 = lams[bi]
-            v_rel = rel_vel(bd, pr, ov, ow, aqd, gqd)
+            v_rel = rel_vel(bd, pr, ov, ow, aqd, gqd, adqd)
             vn = ln.dot(v_rel, bd.normal)
             dln = relax * (pr["v_target"] - vn) / pr["k_n"]
             new_ln = jnp.maximum(ln_ + dln, 0.0) * pr["af"]
@@ -813,27 +878,38 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
             if bd.g >= 0:
                 jg = -jnp.sum(ln.dot(u_g[bd.g][:, None], imp), axis=0)
                 d_gqd[bd.g] = d_gqd[bd.g] + jg * inv_m_grip[bd.g]
+            if bd.pj >= 0 and arm_coupled:
+                # arm chain (side B): Δqd_j += −(J_j · imp) · D_j⁻¹
+                for j in range(n_arm):
+                    col = pad_J[bd.pj][j]
+                    if col is None:
+                        continue
+                    jj = -jnp.sum(ln.dot(col[:, None], imp), axis=0)
+                    d_arm[j] = d_arm[j] + jj * inv_D_arm[j]
             new_lams.append((new_ln, new_lt1, new_lt2))
         ov = [v + d for v, d in zip(ov, d_ov)]
         ow = [v + d for v, d in zip(ow, d_ow)]
         aqd = aqd + jnp.stack(d_aqd)
         gqd = [g + d for g, d in zip(gqd, d_gqd)]
+        adqd = [a + d for a, d in zip(adqd, d_arm)] if arm_coupled else adqd
         # gear projection (contact_solver.gear_project)
         if G == 2:
             w0, w1 = inv_m_grip[0], inv_m_grip[1]
             err = gqd[0] - gqd[1]
             p = err / (w0 + w1)
             gqd = [gqd[0] - p * w0, gqd[1] + p * w1]
-        return ov, ow, aqd, gqd, tuple(new_lams)
+        return ov, ow, aqd, gqd, adqd, tuple(new_lams)
 
     ov = [st["obj_vel"][o] for o in range(n_obj)]
     ow = [st["obj_angvel"][o] for o in range(n_obj)]
     lams = tuple((jnp.zeros_like(bd.depth),) * 3 for bd in bundles)
-    carry = (ov, ow, art_qd0, grip_qd0, lams)
+    adqd0 = [jnp.zeros(lane_shape, jnp.float32)
+             for _ in range(max(n_arm, 1))]
+    carry = (ov, ow, art_qd0, grip_qd0, adqd0, lams)
     # fori_loop keeps the traced/Mosaic instruction count at ONE iteration
     carry = jax.lax.fori_loop(0, iters, lambda i, c: body(c), carry)
-    ov, ow, aqd, gqd, _ = carry
-    return ov, ow, aqd, gqd
+    ov, ow, aqd, gqd, adqd, _ = carry
+    return ov, ow, aqd, gqd, adqd
 
 
 # ---------------------------------------------------------------------------
@@ -858,42 +934,10 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         kin = lane_fk_vel(tree, q, qd)
         pads_c, pads_v, pads_r, pad_dofs = lane_pad_kinematics(tree, arm, kin)
 
-        # ---- pad-vs-world penalty forces → f_ext (physics_substep:252-270)
+        # pads-vs-world contact lives in ARM-COUPLED impulse bundles in the
+        # solve below (gather_bundles pad-vs-world block) — mirrors the
+        # oracle's move away from penalty forces (physics_substep)
         f_ext = {}
-
-        def add_pad_force(p, force):
-            dof = pad_dofs[p]
-            torque = ln.cross(pads_c[p] - kin.pos[dof], force)
-            if dof in f_ext:
-                t0, f0 = f_ext[dof]
-                f_ext[dof] = (t0 + torque, f0 + force)
-            else:
-                f_ext[dof] = (torque, force)
-
-        def pen_force(nrm, dep, v, mu):
-            vn = ln.dot(v, nrm)
-            fn = jnp.maximum(PAD_KN * dep - PAD_CN * vn, 0.0) \
-                * (dep > 0.0).astype(jnp.float32)
-            vt = v - vn[None] * nrm
-            vt_mag = jnp.sqrt(jnp.sum(vt * vt, axis=0) + 1e-12)
-            ft = -(mu * fn / (vt_mag + PAD_EPSV))[None] * vt
-            return fn[None] * nrm + ft
-
-        for p in range(len(pads_c)):
-            # floor
-            nrm = cvec(np.array([0, 0, 1], f32), q[0])
-            dep = pads_r[p] - (pads_c[p][2] - float(scene.plane_z))
-            add_pad_force(p, pen_force(nrm, dep, pads_v[p], 0.6))
-            # statics
-            S_n = scene.static_pos.shape[0]
-            if S_n > 0:
-                bp = cvec(scene.static_pos.T, q[0])     # (3,Sn,S,L)
-                bh = cvec(scene.static_half.T, q[0])
-                _, nrm, dep = lane_sphere_aabox(pads_c[p][:, None],
-                                                pads_r[p], bp, bh)
-                mu = cvec(scene.static_fric, q[0])      # (Sn,S,L)
-                f = pen_force(nrm, dep, pads_v[p][:, None], mu)
-                add_pad_force(p, jnp.sum(f, axis=1))
 
         # ---- ABA + servos (physics_substep:272-287)
         qdd, D = lane_aba(tree, q, qd, kin, f_ext)
@@ -972,16 +1016,19 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         u_g = aux["u_g"]
         inv_m_grip = [1.0 / jnp.maximum(D[d], 1e-4) for d in grip_dofs]
         grip_qd0 = [qd_arm[d] for d in grip_dofs]
+        inv_D_arm = [1.0 / jnp.maximum(D[j], 1e-4) for j in range(n_arm)]
 
-        ov, ow, aqd, gqd = lane_solve(
+        ov, ow, aqd, gqd, adqd = lane_solve(
             cfg, scene, bundles, st2, inv_I_world, inv_m_blk,
-            u_g, inv_m_grip, grip_qd0, art_qd, dt, iters=solve_iters)
+            u_g, inv_m_grip, grip_qd0, art_qd, dt,
+            pad_J=aux["pad_J"], inv_D_arm=inv_D_arm, iters=solve_iters)
 
-        # write solved gripper-driver velocities back (row rebuild:
-        # scatter has no Mosaic lowering)
+        # write solved gripper-driver velocities back + arm-coupled
+        # contact correction (row rebuild: scatter has no Mosaic lowering)
         slot_of = {d: slot for slot, d in enumerate(grip_dofs)}
         qd_arm = jnp.stack([
-            gqd[slot_of[i]] if i in slot_of else qd_arm[i]
+            gqd[slot_of[i]] if i in slot_of
+            else (qd_arm[i] + adqd[i] if i < n_arm else qd_arm[i])
             for i in range(n_dof)])
 
         # ---- integrate (physics_substep:330-354)

@@ -79,7 +79,11 @@ def test_mpc_rollout_reach_makes_progress(model, state0):
     d0 = float(sol.goal_distance(
         model.cfg, achieved_goal(model.cfg, model.tree, model.arm, state0),
         state0.goal))
-    run = jax.jit(lambda s, k: sol.mpc_rollout(model, mpc, s, k, 10))
+    # 14 steps: the pad-floor contact added in the arm-coupled solve makes
+    # low-goal approaches slower (physically: the gripper now rests on the
+    # plane instead of clipping through), and this tiny search budget
+    # (pop=64, 2 iters) needs the extra horizon to clear 25% progress
+    run = jax.jit(lambda s, k: sol.mpc_rollout(model, mpc, s, k, 14))
     final, acts, rs, bests = run(state0, jax.random.PRNGKey(6))
     d1 = float(sol.goal_distance(
         model.cfg, achieved_goal(model.cfg, model.tree, model.arm, final),
