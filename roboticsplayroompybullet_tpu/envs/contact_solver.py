@@ -84,13 +84,18 @@ def solve(rows: ContactRows,
           grip_u, inv_m_grip, grip_qd,      # (G,3), (G,), (G,)
           dt: float,
           pad_J=None, inv_D_arm=None,       # (P,3,n_arm), (n_arm,)
+          art_at_lower=None, art_at_upper=None,   # (4,) bool
           iters: int = 16, relax: float = 1.0,
           beta: float = 0.2, slop: float = 5e-4,
           v_push_max: float = 0.05):
     """Returns SolveResult. All velocity inputs are post-free-update
     (gravity, scene motors, arm servo already applied). pad_J/inv_D_arm
     enable arm-coupled rows (rows.pad >= 0): the pad's world point
-    Jacobian over the arm joints and the ABA diagonal inverse inertia."""
+    Jacobian over the arm joints and the ABA diagonal inverse inertia.
+    art_at_lower/upper make art contact LIMIT-AWARE: an impulse that
+    would push a bottomed-out joint further into its stop sees zero art
+    mobility, so the OTHER side (e.g. a finger on the fully-pressed
+    button) is resisted instead of sinking through."""
     C = rows.depth.shape[0]
     n_obj = obj_pos.shape[0]
     G = grip_u.shape[0]
@@ -135,6 +140,17 @@ def solve(rows: ContactRows,
         art_axis[k_idx])
     # art is side B when a block is on side A, else side A
     art_sign = jnp.where(has_a, -1.0, 1.0)
+    if art_at_lower is None:
+        art_at_lower = jnp.zeros(4, bool)
+        art_at_upper = jnp.zeros(4, bool)
+    at_low_r = jnp.asarray(art_at_lower)[k_idx]
+    at_high_r = jnp.asarray(art_at_upper)[k_idx]
+
+    def art_mobile(j_dir):
+        """Per-row art mobility along generalized direction j_dir: zero
+        when the joint sits at a limit and j_dir pushes further in."""
+        blocked = (at_low_r & (j_dir < 0.0)) | (at_high_r & (j_dir > 0.0))
+        return jnp.where(blocked, 0.0, 1.0)
     u_g = grip_u[g_idx]                               # (C,3), side B
 
     # MASS SPLITTING: Jacobi diverges when several rows share a body and
@@ -167,7 +183,9 @@ def solve(rows: ContactRows,
                                             inv_I_world[b_idx], ub))
                        * split_b, 0.0)
         ja = jnp.sum(u_art * d, axis=-1)
-        k += jnp.where(has_art, ja * ja * inv_m_art[k_idx] * split_k, 0.0)
+        mob = art_mobile(ja * art_sign)
+        k += jnp.where(has_art,
+                       ja * ja * inv_m_art[k_idx] * split_k * mob, 0.0)
         jg = jnp.sum(u_g * d, axis=-1)
         k += jnp.where(has_grip, jg * jg * inv_m_grip[g_idx] * split_g, 0.0)
         if arm_coupled:
@@ -214,8 +232,10 @@ def solve(rows: ContactRows,
         ov = ov + jax.ops.segment_sum(dvb, b_idx, n_obj)
         ow = ow + jax.ops.segment_sum(dwb, b_idx, n_obj)
         # articulated: generalized impulse = sign · (u·imp) / m_eff
+        # (zeroed when it would push a bottomed-out joint past its stop)
         j_imp = jnp.sum(u_art * imp, axis=-1) * art_sign
-        dqd = jnp.where(has_art, j_imp * inv_m_art[k_idx], 0.0)
+        dqd = jnp.where(has_art,
+                        j_imp * inv_m_art[k_idx] * art_mobile(j_imp), 0.0)
         aqd = aqd + jax.ops.segment_sum(dqd, k_idx, 4)
         # gripper driver (always side B)
         jg_imp = -jnp.sum(u_g * imp, axis=-1)

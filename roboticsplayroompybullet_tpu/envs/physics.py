@@ -257,8 +257,10 @@ def gather_contacts(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                     jnp.stack([s.point for s in sets], 1),
                     jnp.stack([s.normal for s in sets], 1),
                     jnp.stack([s.depth for s in sets], 1))
+                # padj: arm-coupled, so a finger on a LIMIT-BLOCKED element
+                # (fully pressed button) is resisted through the arm chain
                 add(deepest(cs, 1), pads_v_nog[p], 0.6, k=k,
-                    pad=grip_slots[p])
+                    pad=grip_slots[p], padj=p)
 
     # pads vs WORLD (floor + deepest static), arm-coupled: these rows let
     # contact stop the servo-driven arm (fingers rest ON the table/cabinet
@@ -380,12 +382,15 @@ def physics_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     grip_qd = jnp.stack([qd_arm[d] for d in geo.grip_dofs])
 
     inv_D_arm = 1.0 / jnp.maximum(aba.D[:n_arm], 1e-4)
+    eps_lim = 1e-4
     res = solver.solve(
         geo.rows, state.obj_pos, obj_vel, obj_angvel,
         inv_m, inv_I_world,
         scene.art_anchor, scene.art_axis, rev_mask, 1.0 / m_eff, art_qd,
         grip_u, inv_m_grip, grip_qd, dt,
-        pad_J=geo.pad_J, inv_D_arm=inv_D_arm)
+        pad_J=geo.pad_J, inv_D_arm=inv_D_arm,
+        art_at_lower=state.art_q <= jnp.asarray(scene.art_lower) + eps_lim,
+        art_at_upper=state.art_q >= jnp.asarray(scene.art_upper) - eps_lim)
     art_qd = res.art_qd
 
     # write solved gripper-driver velocities back into the arm, and apply

@@ -650,9 +650,11 @@ def gather_bundles(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                 n_ = jnp.stack(ns, 1)
                 d_ = jnp.stack(ds, 0)                   # (nb,S,L)
                 pt, nm, dp = lane_deepest(p_, n_, d_, axis=0)
+                # pj: arm-coupled (finger on a limit-blocked element is
+                # resisted through the arm chain — see contact_solver)
                 bundles.append(Bundle(pt[:, None], nm[:, None], dp[None],
                                       pads_v_nog[p][:, None], 0.6,
-                                      k=k, g=grip_slots[p]))
+                                      k=k, g=grip_slots[p], pj=p))
 
     # pads vs WORLD (floor + deepest static), ARM-COUPLED — mirrors
     # physics.gather_contacts' pad-vs-world block
@@ -715,6 +717,16 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
     lane_shape = st["art_q"].shape[1:]
     arm_coupled = pad_J is not None
     n_arm = len(inv_D_arm) if arm_coupled else 0
+    # limit-aware art mobility (contact_solver.art_mobile): lane masks
+    eps_lim = 1e-4
+    at_low = [(st["art_q"][k] <= float(scene.art_lower[k]) + eps_lim)
+              for k in range(4)]
+    at_high = [(st["art_q"][k] >= float(scene.art_upper[k]) - eps_lim)
+               for k in range(4)]
+
+    def art_mobile(k, j_dir):
+        blocked = (at_low[k] & (j_dir < 0.0)) | (at_high[k] & (j_dir > 0.0))
+        return jnp.where(blocked, 0.0, 1.0)
 
     # per-bundle precomputation (positions fixed during the velocity solve)
     pre = []
@@ -781,7 +793,9 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
             k = _acc(k, term * jnp.maximum(cnt_blk[bd.b], 1.0)[None])
         if bd.k >= 0:
             ja = ln.dot(pr["u_art"], d)
-            k = _acc(k, ja * ja * inv_m_art[bd.k]
+            sign = -1.0 if bd.a >= 0 else 1.0
+            mob = art_mobile(bd.k, ja * sign)
+            k = _acc(k, ja * ja * inv_m_art[bd.k] * mob
                      * jnp.maximum(cnt_art[bd.k], 1.0)[None])
         if bd.g >= 0:
             jg = ln.dot(u_g[bd.g][:, None], d)
@@ -873,8 +887,10 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
                                                        torq)
             if bd.k >= 0:
                 sign = -1.0 if bd.a >= 0 else 1.0
-                j = jnp.sum(ln.dot(pr["u_art"], imp), axis=0) * sign
-                d_aqd[bd.k] = d_aqd[bd.k] + j * inv_m_art[bd.k]
+                jrow = ln.dot(pr["u_art"], imp) * sign          # (R,S,L)
+                jrow = jrow * art_mobile(bd.k, jrow)
+                d_aqd[bd.k] = d_aqd[bd.k] + jnp.sum(jrow, axis=0) \
+                    * inv_m_art[bd.k]
             if bd.g >= 0:
                 jg = -jnp.sum(ln.dot(u_g[bd.g][:, None], imp), axis=0)
                 d_gqd[bd.g] = d_gqd[bd.g] + jg * inv_m_grip[bd.g]
