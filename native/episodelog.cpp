@@ -101,14 +101,20 @@ int elog_append_batch(void* h, const float* const* fields,
   return 0;
 }
 
+// Disk-full / I/O errors must not produce a silently-truncated log that
+// still carries a plausible footer: every fwrite/ftell is checked and a
+// nonzero code propagates to the Python binding, which raises.
 int elog_end_episode(void* h) {
   auto* w = static_cast<Writer*>(h);
   if (!w || !w->in_episode) return -1;
-  w->offsets.push_back(static_cast<uint64_t>(std::ftell(w->f)));
-  std::fwrite(&w->steps, 4, 1, w->f);
+  long pos = std::ftell(w->f);
+  if (pos < 0) return -2;
+  if (std::fwrite(&w->steps, 4, 1, w->f) != 1) return -2;
   for (size_t i = 0; i < w->dims.size(); ++i) {
-    std::fwrite(w->pending[i].data(), 4, w->pending[i].size(), w->f);
+    size_t n = w->pending[i].size();
+    if (std::fwrite(w->pending[i].data(), 4, n, w->f) != n) return -2;
   }
+  w->offsets.push_back(static_cast<uint64_t>(pos));
   w->in_episode = false;
   return 0;
 }
@@ -116,14 +122,19 @@ int elog_end_episode(void* h) {
 int elog_close_writer(void* h) {
   auto* w = static_cast<Writer*>(h);
   if (!w) return -1;
-  if (w->in_episode) elog_end_episode(h);
+  int rc = 0;
+  if (w->in_episode && elog_end_episode(h) != 0) rc = -2;
   uint64_t n = w->offsets.size();
-  std::fwrite(w->offsets.data(), 8, n, w->f);
-  std::fwrite(&n, 8, 1, w->f);
-  std::fwrite(&kIdxMagic, 4, 1, w->f);
-  std::fclose(w->f);
+  if (rc == 0) {
+    if (std::fwrite(w->offsets.data(), 8, n, w->f) != n ||
+        std::fwrite(&n, 8, 1, w->f) != 1 ||
+        std::fwrite(&kIdxMagic, 4, 1, w->f) != 1) {
+      rc = -2;
+    }
+  }
+  if (std::fclose(w->f) != 0) rc = -2;
   delete w;
-  return 0;
+  return rc;
 }
 
 // ---------------------------------------------------------------- reader --

@@ -66,7 +66,7 @@ def sample_lfp_batch(reader, rng: np.random.Generator, batch: int,
     for b in range(batch):
         ep = int(rng.integers(reader.n_episodes))
         T = reader.episode_len(ep)
-        t0 = int(rng.integers(max(T - window, 1)))
+        t0 = int(rng.integers(max(T - window + 1, 1)))
 
         def win(field):
             arr = reader.read(ep, field)[t0:t0 + window]

@@ -105,7 +105,8 @@ class EpisodeWriter:
 
     def end_episode(self):
         if self._native:
-            self._lib.elog_end_episode(self._h)
+            if self._lib.elog_end_episode(self._h) != 0:
+                raise IOError("episode log write failed (disk full?)")
         else:
             self._episodes.append({
                 k: (np.concatenate(v) if v else
@@ -115,8 +116,10 @@ class EpisodeWriter:
 
     def close(self):
         if self._native:
-            self._lib.elog_close_writer(self._h)
+            rc = self._lib.elog_close_writer(self._h)
             self._h = None
+            if rc != 0:
+                raise IOError("episode log close failed (truncated write)")
         else:
             flat = {}
             for i, ep in enumerate(self._episodes):
@@ -125,7 +128,10 @@ class EpisodeWriter:
             flat["__meta__"] = np.asarray(
                 [len(self._episodes)] + [self.fields[k] for k in self._names])
             flat["__names__"] = np.asarray(self._names)
-            np.savez(self._path, **flat)
+            # open file handle: np.savez(path) appends '.npz' when the
+            # path lacks it, which would break EpisodeReader(path)
+            with open(self._path, "wb") as f:
+                np.savez(f, **flat)
 
     def __enter__(self):
         return self
@@ -188,7 +194,7 @@ class EpisodeReader:
         for b in range(batch):
             ep = int(rng.integers(self.n_episodes))
             T = self.episode_len(ep)
-            t0 = int(rng.integers(max(T - window, 1)))
+            t0 = int(rng.integers(max(T - window + 1, 1)))
             arr = self.read(ep, field)
             w = arr[t0:t0 + window]
             if w.shape[0] < window:       # short episode: pad by repeat

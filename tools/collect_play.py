@@ -49,10 +49,8 @@ def main():
     B, T, A = args.batch, args.steps, m.cfg.action_dim
     rng = jax.random.PRNGKey(args.seed)
 
-    def public_obs(s):
-        o = calc_obs(m.cfg, m.tree, m.arm, m.scene, s)
-        return {k: o[k] for k in ("obs_quat", "achieved_goal",
-                                  "desired_goal", "full_positional_state")}
+    PUBLIC = ("obs_quat", "achieved_goal", "desired_goal",
+              "full_positional_state")
 
     if args.policy == "random":
         use_fused = m.cfg.num_objects > 0 and B % 1024 == 0
@@ -69,8 +67,17 @@ def main():
                 tail = 0.85 * tail + 0.35 * eps
                 acts = jnp.clip(tail, -high, high)
                 st = stepB(st, acts)
-                obs = jax.vmap(public_obs)(st)
-                return (st, tail), (obs, acts)
+                obs = jax.vmap(
+                    lambda s: calc_obs(m.cfg, m.tree, m.arm, m.scene, s))(st)
+                # thread the continuity buffers back into the carried state
+                # so the quaternion sign filter compares each step against
+                # the PREVIOUS step (environments.py:868-894), not the
+                # frozen reset-time observation
+                st = st.replace(prev_obs=obs["_prev_obs"],
+                                prev_ag=obs["_prev_ag"],
+                                has_prev=jnp.ones_like(st.has_prev))
+                pub = {key: obs[key] for key in PUBLIC}
+                return (st, tail), (pub, acts)
 
             keys = jax.random.split(key, T)
             (st, _), (obs, acts) = jax.lax.scan(
