@@ -1533,13 +1533,17 @@ def make_pallas_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
 
 
 def make_reference_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
-                        scene: Scene, n_substeps: Optional[int] = None):
-    """Plain-jnp twin of make_pallas_step (oracle / CPU fallback)."""
+                        scene: Scene, n_substeps: Optional[int] = None,
+                        ik_iters: Optional[int] = None,
+                        solve_iters: int = 16):
+    """Plain-jnp twin of make_pallas_step (oracle / CPU fallback).
+    ik_iters/solve_iters mirror make_pallas_step's preview-model knobs."""
     rows, NF = _field_rows(cfg, tree)
     A_dim = cfg.action_dim
     L = 128
-    sim = make_lane_sim(cfg, tree, arm, scene, n_substeps)
-    control = make_lane_control(cfg, tree, arm)
+    sim = make_lane_sim(cfg, tree, arm, scene, n_substeps,
+                        solve_iters=solve_iters)
+    control = make_lane_control(cfg, tree, arm, ik_iters=ik_iters)
 
     def step_B(X, actions):
         B = X.shape[1]
@@ -1564,7 +1568,8 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     Each kernel call costs ~1.5 ms of fixed dispatch/launch overhead on the
     tunneled chip; folding the horizon loop inside amortizes it H-fold.
     roll_B(X (NF, B), actions (H, A, B)) → (X', ags (H, ag_dim, B)).
-    Play/object envs only (achieved goal sliced from packed rows)."""
+    Achieved goals: sliced from packed rows (object/play envs) or lane-FK
+    ee position (reach envs) — all 19 catalog ids are covered."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1572,7 +1577,7 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     A_dim = cfg.action_dim
     n, no = tree.n_dof, cfg.num_objects
     ag_dim = (7 * no + 4) if cfg.play else \
-        ((7 if cfg.use_orientation else 3) * no)
+        (((7 if cfg.use_orientation else 3) * no) if no else 3)
     L = 128
     S = block_envs // L
     sim = make_lane_sim(cfg, tree, arm, scene, n_substeps,
@@ -1583,6 +1588,12 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     art0 = quat0 + 4 * no + 6 * no
 
     def ag_of(Xb):
+        if no == 0 and not cfg.play:
+            # reach envs: ag = ee site world position (obs.achieved_goal
+            # FK branch, reference environments.py:835) via lane FK
+            pos_l, quat_l = lane_fk_links(tree, Xb[0:n])
+            ee_pos, _ = _lane_site_pose(tree, pos_l, quat_l, arm.ee_site)
+            return ee_pos
         parts = []
         for o in range(no):
             parts.append(Xb[pos0 + 3 * o: pos0 + 3 * (o + 1)])

@@ -28,16 +28,21 @@ from ..ops import fused_step as fs
 
 
 def _ag_row_gather(m: EnvModel):
-    """Achieved-goal rows out of the packed state X (NF, B) — mirrors
-    obs.achieved_goal for the play/object layouts (reach envs need FK and
-    use the vmap path)."""
-    cfg, tree = m.cfg, m.tree
+    """Achieved goals out of the packed state X (NF, B) — mirrors
+    obs.achieved_goal for every layout: object/play envs slice packed
+    rows; reach envs run lane FK for the ee position (environments.py:835
+    FK branch), so all 19 catalog ids ride the fused path."""
+    cfg, tree, arm = m.cfg, m.tree, m.arm
     n, no = tree.n_dof, cfg.num_objects
     pos0 = 2 * n
     quat0 = pos0 + 3 * no
     art0 = quat0 + 4 * no + 6 * no
 
     def ag(X):
+        if no == 0 and not cfg.play:
+            pos_l, quat_l = fs.lane_fk_links(tree, X[0:n])
+            ee_pos, _ = fs._lane_site_pose(tree, pos_l, quat_l, arm.ee_site)
+            return ee_pos                          # (3, B)
         parts = []
         for o in range(no):
             parts.append(X[pos0 + 3 * o: pos0 + 3 * (o + 1)])
@@ -53,8 +58,9 @@ def _ag_row_gather(m: EnvModel):
 
 
 def supports_fused(m: EnvModel) -> bool:
-    """Fused ag extraction needs object-based goals (play or ≥1 object)."""
-    return m.cfg.num_objects > 0
+    """Every catalog env rides the fused path (object/play goals slice
+    packed rows; reach/ee goals use lane FK — see _ag_row_gather)."""
+    return True
 
 
 def make_fused_rollout(m: EnvModel, interpret: bool = False,
@@ -101,17 +107,47 @@ def make_fused_batched_step(m: EnvModel, interpret: bool = False,
     return step
 
 
+def _resolve_backend(backend: str) -> str:
+    """"auto" → the Pallas kernel on TPU, the plain-jnp lane twin on CPU
+    (make_reference_sim fallback per the multi-chip test strategy)."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "reference"
+    assert backend in ("pallas", "reference"), backend
+    return backend
+
+
 def make_fused_rollout_whole(m: EnvModel, horizon: int,
                              interpret: bool = False,
                              block_envs: int = 1024, ik_iters=None,
-                             solve_iters: int = 16):
+                             solve_iters: int = 16,
+                             backend: str = "pallas",
+                             n_substeps=None):
     """Whole-horizon single-kernel rollout: ONE pallas invocation per env
     block for all H control steps (~1.5 ms fixed dispatch cost amortized
-    H-fold vs the per-step kernel). Same signature as make_fused_rollout."""
-    roll_B = fs.make_pallas_rollout(m.cfg, m.tree, m.arm, m.scene, horizon,
-                                    block_envs=block_envs,
-                                    interpret=interpret, ik_iters=ik_iters,
-                                    solve_iters=solve_iters)
+    H-fold vs the per-step kernel). Same signature as make_fused_rollout.
+
+    backend: "pallas" (the TPU kernel; `interpret` emulates it on CPU),
+    "reference" (the plain-jnp lane twin — same math, XLA-compiled; the
+    CPU fallback for sharded dryruns), or "auto"."""
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        roll_B = fs.make_pallas_rollout(
+            m.cfg, m.tree, m.arm, m.scene, horizon, block_envs=block_envs,
+            interpret=interpret, ik_iters=ik_iters, solve_iters=solve_iters,
+            n_substeps=n_substeps)
+    else:
+        stepk = fs.make_reference_step(m.cfg, m.tree, m.arm, m.scene,
+                                       n_substeps=n_substeps,
+                                       ik_iters=ik_iters,
+                                       solve_iters=solve_iters)
+        ag_fn = _ag_row_gather(m)
+
+        def roll_B(X, acts):                         # acts (H, A, B)
+            def body(Xc, a):
+                X2 = stepk(Xc, a)
+                return X2, ag_fn(X2)
+            Xf, ags = jax.lax.scan(body, X, acts)    # ags (H, ag_dim, B)
+            return Xf, ags
 
     def rollout(states: EnvState, actions: jnp.ndarray):
         assert actions.shape[1] == horizon, (actions.shape, horizon)
@@ -125,3 +161,39 @@ def make_fused_rollout_whole(m: EnvModel, horizon: int,
         return final, rs, ags
 
     return rollout
+
+
+def make_sharded_fused_rollout(m: EnvModel, mesh, horizon: int,
+                               interpret: bool = False,
+                               block_envs: int = 1024, ik_iters=None,
+                               solve_iters: int = 16,
+                               backend: str = "auto",
+                               n_substeps=None):
+    """Whole-horizon FUSED rollout with the env batch sharded over the mesh.
+
+    The flagship perf path (the Pallas kernel) under `shard_map`: each
+    device runs the kernel on its local batch shard — per-device compute is
+    fully local (envs are independent, SURVEY.md §2.3 DP row mirroring the
+    reference's per-instance offset hook, environments.py:456-466), so the
+    program scales over ICI/DCN with zero rollout-time collectives; results
+    stay device-resident for the solver's psum/all_gather reductions.
+
+    Per-shard batch (global B / mesh size) must be a multiple of
+    block_envs. Returns jitted (states, actions) → (final, rs, ags) with
+    batch-sharded in/outputs."""
+    from jax.experimental.shard_map import shard_map
+    from .mesh import batch_spec
+
+    roll = make_fused_rollout_whole(m, horizon, interpret=interpret,
+                                    block_envs=block_envs,
+                                    ik_iters=ik_iters,
+                                    solve_iters=solve_iters,
+                                    backend=backend, n_substeps=n_substeps)
+    spec = batch_spec(mesh)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec),
+             out_specs=(spec, spec, spec), check_rep=False)
+    def _sharded(states, actions):
+        return roll(states, actions)
+
+    return jax.jit(_sharded)

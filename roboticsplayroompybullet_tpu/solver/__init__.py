@@ -2,6 +2,7 @@
 from .cost import CostWeights, goal_distance, trajectory_cost
 from .mpc import (MPCConfig, PlanState, init_plan, shift_plan, plan,
                   make_sharded_planner, make_fused_planner,
+                  make_sharded_fused_planner,
                   make_fused_mpc_rollout, mpc_rollout)
 from .ilqr import ILQRConfig, ILQRResult, ilqr, ilqr_plan
 from .gradient import GradConfig, refine
@@ -10,6 +11,7 @@ __all__ = [
     "CostWeights", "goal_distance", "trajectory_cost",
     "MPCConfig", "PlanState", "init_plan", "shift_plan", "plan",
     "make_sharded_planner", "make_fused_planner",
+    "make_sharded_fused_planner",
     "make_fused_mpc_rollout", "mpc_rollout",
     "ILQRConfig", "ILQRResult", "ilqr", "ilqr_plan",
     "GradConfig", "refine",

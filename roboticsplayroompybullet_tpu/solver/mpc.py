@@ -205,6 +205,66 @@ def make_fused_planner(m: EnvModel, cfg: MPCConfig,
     return plan_fn
 
 
+def make_sharded_fused_planner(m: EnvModel, cfg: MPCConfig, mesh,
+                               interpret: bool = False,
+                               block_envs: int = 1024,
+                               backend: str = "auto",
+                               n_substeps: Optional[int] = None):
+    """Replanner scoring candidates through the FUSED rollout kernel with
+    the population sharded over every mesh axis.
+
+    Marries the two fast paths: each device runs the Pallas whole-horizon
+    kernel on its local population shard (pop/mesh_size candidates, must be
+    a multiple of block_envs), then MPPI/CEM statistics reduce over
+    ICI(+DCN) via psum/pmin/all_gather — the pod-scale version of
+    make_fused_planner. State/plan replicated; only score moments cross
+    the interconnect. Returns jitted plan_fn(state, plan_state, key)."""
+    from ..parallel import fused as _fused
+
+    n_dev = mesh_size(mesh)
+    assert cfg.pop % n_dev == 0, (cfg.pop, n_dev)
+    n_local = cfg.pop // n_dev
+    assert n_local % block_envs == 0, (n_local, block_envs)
+    axes = mesh.axis_names
+    axis = axes if len(axes) > 1 else axes[0]
+    rep = P()
+
+    roll = _fused.make_fused_rollout_whole(
+        m, cfg.horizon, interpret=interpret, block_envs=block_envs,
+        ik_iters=cfg.preview_ik_iters,
+        solve_iters=cfg.preview_solve_iters, backend=backend,
+        n_substeps=n_substeps)
+    update = _mppi_update if cfg.algorithm == "mppi" else _cem_update
+    high = jnp.asarray(m.cfg.action_high, jnp.float32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(rep, rep, rep),
+             out_specs=(rep, rep), check_rep=False)
+    def _plan(state, plan_state, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        key = jax.random.fold_in(key, idx)
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_local,) + x.shape), state)
+
+        def body(carry, k):
+            pl = carry
+            acts = _sample(k, pl, cfg, n_local, high)   # (n_local, H, A)
+            _, _, ags = roll(states, acts)              # (n_local, H, ag)
+            costs = jax.vmap(
+                lambda ag, a: trajectory_cost(m.cfg, ag, state.goal, a,
+                                              cfg.weights))(ags, acts)
+            pl = update(pl, cfg, acts, costs, axis)
+            best = jax.lax.pmin(jnp.min(costs), axis)
+            return pl, best
+
+        keys = jax.random.split(key, cfg.iters)
+        plan_state2, bests = jax.lax.scan(body, plan_state, keys)
+        return plan_state2, bests[-1]
+
+    return jax.jit(_plan)
+
+
 def make_sharded_planner(m: EnvModel, cfg: MPCConfig, mesh):
     """Replan with the population sharded over every mesh axis.
 

@@ -174,6 +174,31 @@ def test_sphere_box_interior_normal():
     np.testing.assert_allclose(float(d[0]), 0.008 + 0.002, atol=1e-6)
 
 
+def test_fused_reach_ag_matches_vmap():
+    """Reach envs ride the fused path too: the lane-FK ee-position
+    achieved goal (ag) of the fused whole-horizon rollout matches the
+    vmap oracle's FK ag, so make_fused_planner covers all 19 envs."""
+    from roboticsplayroompybullet_tpu.parallel import fused as F
+
+    m, states = _setup("UR5Reach-v0", seed=11, substeps=3)
+    H = 2
+    acts = jax.random.uniform(jax.random.PRNGKey(12),
+                              (B, H, m.cfg.action_dim), jnp.float32,
+                              -0.3, 0.3)
+    assert F.supports_fused(m)
+    ref_fin, ref_rs, ref_ags = jax.jit(
+        lambda s, a: R.batched_rollout(m, s, a))(states, acts)
+    roll = jax.jit(F.make_fused_rollout_whole(m, H, block_envs=128,
+                                              backend="reference"))
+    fin, rs, ags = roll(states, acts)
+    d = np.abs(np.asarray(ags) - np.asarray(ref_ags))
+    # IK fixed-point variance (see test_fused_control_matches): bound the
+    # tail tightly, allow isolated branch flips at the max
+    assert np.quantile(d, 0.99) < 1e-3, np.quantile(d, 0.99)
+    assert d.max() < 0.05, d.max()
+    assert np.mean(np.abs(np.asarray(rs) - np.asarray(ref_rs))) < 0.02
+
+
 def test_fused_sim_matches_two_object_play():
     """2-object complex scene (pandaPlay-v0): block-block contact rows +
     full articulation in the lane program vs the vmap oracle."""
