@@ -68,13 +68,21 @@ def _proprioception(cfg: EnvConfig, arm: ArmConfig, tree: KineTree,
                     kin: dyn.LinkKin, state: EnvState, scene: Scene):
     """Binary 'something between the prongs' (environments.py:720-743).
 
-    UR5 only (Panda returns −1). The Bullet ray test between the prongs is
-    approximated by testing whether any block's box contains the inter-pad
-    midpoint (expanded by the pad radius).
+    UR5 only (Panda returns −1). True ray-cast mirror of the reference's
+    `rayTest`: the segment runs from the ee/wrist midpoint ("far up",
+    environments.py:726) to just past the inter-pad midpoint ("between the
+    prongs", :727), and is tested against every non-gripper collider —
+    block boxes, articulated-element collider boxes, static boxes, and the
+    ground plane. A hit with fraction < 1 reads 1, else 0; the pads
+    themselves are never tested (the reference's link-18/20 exclusion,
+    :736).
     """
-    if arm.name != "UR5" or cfg.num_objects == 0:
-        return jnp.full((), -1.0 if arm.name != "UR5" else 0.0, jnp.float32)
-    # midpoint between the two pad-sphere pairs
+    if arm.name != "UR5":
+        return jnp.full((), -1.0, jnp.float32)
+    from ..utils.render import _ray_box, _ray_plane_z, _BIG
+    from .physics import art_box_pose
+
+    # pad-sphere centers → avg_gripper (gripper_one/two analogues, :721-722)
     centers = []
     for site, off, _r in arm.pad_spheres:
         par = tree.site_parent[site]
@@ -83,13 +91,37 @@ def _proprioception(cfg: EnvConfig, arm: ArmConfig, tree: KineTree,
             tree.site_pos[site], tree.site_quat[site])
         centers.append(spos + sp.quat_rotate(squat,
                                              jnp.asarray(off, jnp.float32)))
-    mid = jnp.mean(jnp.stack(centers), axis=0)
-    hit = jnp.bool_(False)
+    avg_pad = jnp.mean(jnp.stack(centers), axis=0)
+
+    ee_pos, _, _, _ = ee_state(tree, arm, kin)
+    wrist = int(tree.parent[tree.site_parent[arm.ee_site]])
+    wrist_pos = kin.pos[wrist]
+    p1 = ee_pos - (ee_pos - wrist_pos) * 0.5            # :726
+    d = (avg_pad + (ee_pos - wrist_pos) * 0.2) - p1     # :727 (t=1 at end)
+
+    ident = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    tmin = jnp.full((), _BIG, jnp.float32)
     for o in range(cfg.num_objects):
-        local = sp.quat_rotate_inverse(state.obj_quat[o],
-                                       mid - state.obj_pos[o])
-        hit |= jnp.all(jnp.abs(local) <= scene.block_half + 0.01)
-    return hit.astype(jnp.float32)
+        t, _ = _ray_box(p1, d, state.obj_pos[o], state.obj_quat[o],
+                        scene.block_half)
+        tmin = jnp.minimum(tmin, t)
+    if scene.has_articulated:
+        K = scene.art_boxes_pos.shape[1]
+        for k in range(4):
+            apos, aquat = art_box_pose(scene, k, state.art_q)
+            for j in range(K):
+                c = apos + sp.quat_rotate(aquat, scene.art_boxes_pos[k, j])
+                t, _ = _ray_box(p1, d, c, aquat, scene.art_boxes_half[k, j])
+                # zero-size padding boxes can degenerate to t_near==t_far
+                t = jnp.where(jnp.all(scene.art_boxes_half[k, j] > 0.0),
+                              t, _BIG)
+                tmin = jnp.minimum(tmin, t)
+    for s in range(scene.static_pos.shape[0]):
+        t, _ = _ray_box(p1, d, scene.static_pos[s], ident,
+                        scene.static_half[s])
+        tmin = jnp.minimum(tmin, t)
+    tmin = jnp.minimum(tmin, _ray_plane_z(p1, d, scene.plane_z))
+    return (tmin <= 1.0).astype(jnp.float32)
 
 
 def arm_obs(cfg: EnvConfig, tree: KineTree, arm: ArmConfig, scene: Scene,
