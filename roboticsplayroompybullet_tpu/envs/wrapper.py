@@ -67,6 +67,8 @@ class PlayEnv:
         self.render_scene = False
         self._record_images = False
         self._sub_goal = None
+        self._jit_ghost_arm = None
+        self._ghost_rest_quat = None
         # lazy jit (the "physics client activation" analogue)
         self._jit_step = jax.jit(lambda s, a: core.step(self.model, s, a))
         self._jit_reset = jax.jit(lambda r: core.reset(self.model, r))
@@ -100,61 +102,135 @@ class PlayEnv:
             "target_poses": np.asarray(info["target_poses"]),
         }
 
+    def _ghost_arm_links(self, ee_pos, ee_quat):
+        """(n_dof, 3) link positions of a ghost arm IK'd to the sub-goal
+        ee pose — the skeleton analogue of the reference's ghost_panda
+        (environments.py:619-631, reset_arm at the sub-goal :699-703)."""
+        from ..ops import kinematics as Kin
+        m = self.model
+        if self._jit_ghost_arm is None:
+            tree, arm = m.tree, m.arm
+            rest = jnp.zeros(tree.n_dof, jnp.float32).at[:arm.n_arm].set(
+                jnp.asarray(arm.rest_pose, jnp.float32))
+            _, rq = Kin.fk_site(tree, rest, arm.ee_site)
+            self._ghost_rest_quat = np.asarray(rq)
+
+            def _ik_links(p, q):
+                sol = Kin.ik_dls(tree, rest, p, q, rest, site=arm.ee_site,
+                                 iters=16, n_active=arm.n_arm)
+                lp, _ = Kin.fk_links(tree, sol)
+                return lp
+
+            self._jit_ghost_arm = jax.jit(_ik_links)
+        quat = self._ghost_rest_quat if ee_quat is None else ee_quat
+        return np.asarray(self._jit_ghost_arm(
+            jnp.asarray(ee_pos, jnp.float32), jnp.asarray(quat, jnp.float32)))
+
     def _sub_goal_ghosts(self):
-        """Translucent marker spheres from the stored sub-goal vector:
-        ee target (full_positional_state kinds), per-block goal positions,
-        and the 4 articulated elements posed at their goal values — the
-        flat-array analogue of the reference's ghost bodies
-        (environments.py:606-703)."""
+        """Ghost-body arrays from the stored sub-goal vector, mirroring
+        the reference's ghost set (environments.py:606-717):
+          * ghost ARM skeleton IK'd to the ee sub-goal (ghost_panda.urdf
+            analogue) for full_positional/controllable kinds,
+          * per-block translucent BOXES at the block sub-goal poses
+            (rgba-0.5 GEOM_BOX ghosts, :668-679),
+          * the door/drawer/button/dial collider boxes posed at the
+            sub-goal joint values (ghost scene elements, :684-717).
+        Returns (spheres, boxes) tuples with static shapes for jit."""
         cfg = self.cfg
-        K = cfg.num_objects + 5          # ee + blocks + drawer/door/button/dial
-        pos = np.zeros((K, 3), np.float32)
-        rad = np.zeros((K,), np.float32)
-        col = np.zeros((K, 3), np.float32)
-        alp = np.zeros((K,), np.float32)
-        if self._sub_goal is None:
-            return pos, rad, col, alp
         from ..utils import render as rnd
+        tree, scene = self.model.tree, self.model.scene
+        n_dof = tree.n_dof
+        nKb = scene.art_boxes_pos.shape[1]
+        S = 3 * n_dof + 1
+        NB = cfg.num_objects + 4 * nKb
+        pos = np.zeros((S, 3), np.float32)
+        rad = np.zeros((S,), np.float32)
+        col = np.zeros((S, 3), np.float32)
+        alp = np.zeros((S,), np.float32)
+        bpos = np.zeros((NB, 3), np.float32)
+        bquat = np.zeros((NB, 4), np.float32)
+        bquat[:, 3] = 1.0
+        bhalf = np.zeros((NB, 3), np.float32)
+        bcol = np.zeros((NB, 3), np.float32)
+        balp = np.zeros((NB,), np.float32)
+        spheres = (pos, rad, col, alp)
+        boxes = (bpos, bquat, bhalf, bcol, balp)
+        if self._sub_goal is None:
+            return spheres, boxes
         vec, kind = self._sub_goal
         vec = np.asarray(vec, np.float32)
         ag = None
-        if kind == "full_positional_state":
-            pos[0], rad[0], col[0], alp[0] = vec[:3], 0.05, rnd._ARM_COLOR, 0.4
-            off = 8 if cfg.use_orientation else 4
-            if vec.shape[0] > off:
-                ag = vec[off:]
+        if kind in ("full_positional_state", "controllable_achieved_goal"):
+            ee = vec[:3]
+            eq = (vec[3:7] if (cfg.use_orientation
+                               and kind == "full_positional_state"
+                               and vec.shape[0] >= 7) else None)
+            links = self._ghost_arm_links(ee, eq)
+            i = 0
+            for l in range(n_dof):
+                p = int(tree.parent[l])
+                a = links[p] if p >= 0 else np.asarray(tree.base_pos)
+                b = links[l]
+                for s in range(3):
+                    f = (s + 1) / 3.0
+                    pos[i] = a + f * (b - a)
+                    rad[i], col[i], alp[i] = 0.045, rnd._ARM_COLOR, 0.35
+                    i += 1
+            pos[S - 1], rad[S - 1] = ee, 0.05
+            col[S - 1], alp[S - 1] = rnd._ARM_COLOR, 0.4
+            if kind == "full_positional_state":
+                off = 8 if cfg.use_orientation else 4
+                if vec.shape[0] > off:
+                    ag = vec[off:]
         else:                            # achieved_goal-layout sub-goal
             ag = vec
         if ag is not None and cfg.num_objects > 0:
             per = 7 if (cfg.play or cfg.use_orientation) else 3
+            ghost_half = np.asarray(scene.block_half) if cfg.play \
+                else np.full(3, 0.03, np.float32)    # environments.py:670-673
             for o in range(cfg.num_objects):
-                pos[1 + o] = ag[per * o: per * o + 3]
-                rad[1 + o] = float(np.max(self.model.scene.block_half)) * 1.6
-                col[1 + o] = rnd._BLOCK_COLORS[o % 2]
-                alp[1 + o] = 0.4
+                bpos[o] = ag[per * o: per * o + 3]
+                if per == 7:
+                    q = ag[per * o + 3: per * o + 7]
+                    nq = np.linalg.norm(q)
+                    bquat[o] = q / nq if nq > 1e-6 else (0, 0, 0, 1)
+                bhalf[o] = ghost_half
+                bcol[o] = rnd._BLOCK_COLORS[o % 2]
+                balp[o] = 0.5                        # rgba alpha 0.5, :672
             if cfg.play and ag.shape[0] >= per * cfg.num_objects + 4:
                 from . import physics
+                from ..ops import spatial as sp
                 art = ag[per * cfg.num_objects:][:4].copy()
                 art[3] = art[3] * 2.2    # undo dial_to_0_1_range (viz only)
                 art_q = jnp.asarray(art)
                 for k in range(4):
-                    p, _ = physics.art_box_pose(self.model.scene, k, art_q)
-                    j = 1 + cfg.num_objects + k
-                    pos[j] = np.asarray(p)
-                    rad[j] = 0.035
-                    col[j] = rnd._ART_COLORS[k]
-                    alp[j] = 0.4
-        return pos, rad, col, alp
+                    apos, aquat = physics.art_box_pose(scene, k, art_q)
+                    apos, aquat = np.asarray(apos), np.asarray(aquat)
+                    for j in range(nKb):
+                        slot = cfg.num_objects + k * nKb + j
+                        half = np.asarray(scene.art_boxes_half[k, j])
+                        if float(half.sum()) <= 0.0:
+                            continue                 # padding slot
+                        off3 = np.asarray(sp.quat_rotate(
+                            jnp.asarray(aquat),
+                            jnp.asarray(scene.art_boxes_pos[k, j])))
+                        bpos[slot] = apos + off3
+                        bquat[slot] = aquat
+                        bhalf[slot] = half
+                        bcol[slot] = rnd._ART_COLORS[k]
+                        balp[slot] = 0.4
+        return spheres, boxes
 
     def _render_frame(self):
         from ..utils import render as rnd
         if self._jit_render is None:
             m = self.model
             self._jit_render = jax.jit(
-                lambda s, gp, gr, gc, ga: rnd.render_state(
+                lambda s, g, gb: rnd.render_state(
                     m.cfg, m.tree, m.arm, m.scene, s,
-                    ghosts=(gp, gr, gc, ga)))
-        img = self._jit_render(self._state, *self._sub_goal_ghosts())
+                    ghosts=g, ghost_boxes=gb))
+        g, gb = self._sub_goal_ghosts()
+        img = self._jit_render(self._state, g, gb)
         return (np.asarray(img) * 255).astype(np.uint8)
 
     def render(self, mode="human"):
@@ -178,9 +254,11 @@ class PlayEnv:
                                       self._state.rng, g)
 
     def visualise_sub_goal(self, sub_goal, sub_goal_state="full_positional_state"):
-        """Stores the sub-goal for the host-side renderer (the reference's
-        ghost-body visualization, environments.py:606-703, is a GUI affair;
-        TPU core keeps only the state)."""
+        """Stores the sub-goal for the host-side renderer, which draws the
+        reference's full ghost set (environments.py:606-717): ghost arm
+        skeleton (full_positional/controllable kinds), translucent block
+        boxes, and the scene elements posed at the sub-goal joint values
+        (see _sub_goal_ghosts)."""
         self._sub_goal = (np.asarray(sub_goal), sub_goal_state)
 
     def delete_sub_goal(self):

@@ -154,14 +154,25 @@ def render_state(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                  scene: Scene, state: EnvState,
                  camera: Optional[Camera] = None,
                  pixels: int = PIXELS,
-                 ghosts: Optional[tuple] = None) -> jnp.ndarray:
+                 ghosts: Optional[tuple] = None,
+                 ghost_boxes: Optional[tuple] = None) -> jnp.ndarray:
     """(pixels, pixels, 3) float32 RGB in [0, 1]. Jit/vmap-clean.
 
     ghosts: optional (centers (K,3), radii (K,), colors (K,3),
-    alphas (K,)) traced arrays — translucent sub-goal markers blended
-    over the frame, the analogue of the reference's collision-masked
-    rgba-0.3 ghost bodies (environments.py:606-703; scenes.py ghostly
-    branches). alpha 0 disables a slot."""
+    alphas (K,)) traced arrays — translucent sub-goal marker spheres
+    blended over the frame, the analogue of the reference's collision-
+    masked rgba-0.3 ghost bodies (environments.py:606-703; scenes.py
+    ghostly branches). alpha 0 disables a slot.
+
+    ghost_boxes: optional (centers (K,3), quats (K,4), halves (K,3),
+    colors (K,3), alphas (K,)) — translucent ORIENTED-BOX ghosts for
+    block sub-goals and the ghost door/drawer/button/dial posed at
+    sub-goal joint values (environments.py:684-717). Zero half disables.
+
+    When cfg.show_goal (non-play), desired-goal spheres are rendered
+    straight from state.goal — they track every reset_goal_pos like the
+    reference's constraint-pinned goal bodies (environments.py:433-452,
+    492-516)."""
     cam = camera if camera is not None else camera_from_yaw_pitch()
     H = W = pixels
     iy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0 - 1.0
@@ -239,6 +250,17 @@ def render_state(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     img = jnp.where((best_t < _BIG * 0.5)[..., None],
                     best_c * shade[..., None], sky[None])
 
+    # desired-goal markers (environments.py:433-452): per-goal colored
+    # spheres at state.goal, repositioned implicitly on every
+    # reset_goal_pos because they read straight from the state
+    if cfg.show_goal and not cfg.play:
+        for gi in range(cfg.num_goals):
+            gp = state.goal[3 * gi: 3 * gi + 3]
+            gcol = jnp.asarray(_BLOCK_COLORS[gi % 2], jnp.float32)
+            t, _ = _ray_sphere(o, d, gp, 0.03)
+            a = jnp.where(t < best_t, 0.45, 0.0)[..., None]
+            img = img * (1.0 - a) + gcol[None] * a
+
     if ghosts is not None:
         g_pos, g_rad, g_col, g_alpha = ghosts
         for k in range(g_pos.shape[0]):
@@ -246,6 +268,14 @@ def render_state(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
             # visible wherever the ghost is in front of the opaque hit
             a = jnp.where(t < best_t, g_alpha[k], 0.0)[..., None]
             img = img * (1.0 - a) + g_col[k][None] * a
+
+    if ghost_boxes is not None:
+        b_pos, b_quat, b_half, b_col, b_alpha = ghost_boxes
+        for k in range(b_pos.shape[0]):
+            t, _ = _ray_box(o, d, b_pos[k], b_quat[k], b_half[k])
+            t = jnp.where(jnp.sum(b_half[k]) > 0, t, _BIG)
+            a = jnp.where(t < best_t, b_alpha[k], 0.0)[..., None]
+            img = img * (1.0 - a) + b_col[k][None] * a
 
     return img.reshape(H, W, 3)
 

@@ -93,7 +93,9 @@ def test_render_state_and_ghost_overlay():
 
 
 def test_wrapper_sub_goal_ghosts():
-    """visualise_sub_goal → ghost arrays; delete_sub_goal clears them."""
+    """visualise_sub_goal → ghost BOX arrays (block pose + articulated
+    elements posed at goal values, environments.py:668-717);
+    delete_sub_goal clears them."""
     from roboticsplayroompybullet_tpu.envs import wrapper
 
     env = wrapper.make("pandaPlayAbsRPY1Obj-v0")
@@ -101,9 +103,57 @@ def test_wrapper_sub_goal_ghosts():
     ag = np.asarray(env.step(np.zeros(env.cfg.action_dim,
                                       np.float32))[0]["achieved_goal"])
     env.visualise_sub_goal(ag, "achieved_goal")
-    pos, rad, col, alp = env._sub_goal_ghosts()
-    assert alp.max() > 0            # block + articulation ghosts active
-    np.testing.assert_allclose(pos[1], ag[:3], atol=1e-6)  # block slot
-    assert alp[2:6].min() > 0       # drawer/door/button/dial slots
+    (pos, rad, col, alp), (bpos, bquat, bhalf, bcol, balp) = \
+        env._sub_goal_ghosts()
+    assert alp.max() == 0           # achieved_goal kind: no ghost arm
+    assert balp[0] > 0              # block ghost box active
+    np.testing.assert_allclose(bpos[0], ag[:3], atol=1e-6)
+    nq = ag[3:7] / np.linalg.norm(ag[3:7])
+    np.testing.assert_allclose(bquat[0], nq, atol=1e-5)
+    # articulated-element ghost boxes posed (door/drawer/button/dial)
+    assert balp[env.cfg.num_objects:].max() > 0
     env.delete_sub_goal()
-    assert env._sub_goal_ghosts()[3].max() == 0
+    g2, b2 = env._sub_goal_ghosts()
+    assert g2[3].max() == 0 and b2[4].max() == 0
+
+
+def test_wrapper_ghost_arm_skeleton():
+    """full_positional_state sub-goal spawns the ghost-ARM skeleton
+    (ghost_panda analogue, environments.py:619-631): bone spheres active,
+    and the IK'd chain ends near the ee sub-goal."""
+    from roboticsplayroompybullet_tpu.envs import wrapper
+
+    env = wrapper.make("pandaPlayAbsRPY1Obj-v0")
+    obs = env.reset()
+    fps = np.asarray(obs["full_positional_state"], np.float32)
+    target = fps.copy()
+    target[:3] = [0.0, 0.1, 0.15]          # reachable ee sub-goal
+    env.visualise_sub_goal(target, "full_positional_state")
+    (pos, rad, col, alp), boxes = env._sub_goal_ghosts()
+    assert (alp > 0).sum() >= 3 * env.model.tree.n_dof  # bones + ee marker
+    # last bone sphere chains toward the ee target
+    ee_marker = pos[-1]
+    np.testing.assert_allclose(ee_marker, target[:3], atol=1e-6)
+    bone_tip = pos[(alp > 0).nonzero()[0][-2]]
+    assert np.linalg.norm(bone_tip - target[:3]) < 0.2
+
+
+def test_render_show_goal_markers():
+    """Non-play envs with show_goal render desired-goal spheres straight
+    from state.goal (environments.py:433-452): flipping show_goal off
+    changes the image."""
+    import dataclasses
+    from roboticsplayroompybullet_tpu.utils import render as rnd
+
+    m = core.build_model(CATALOG["UR5Reach-v0"])
+    assert m.cfg.show_goal
+    state, _ = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(2))
+    # park the goal mid-view so the marker is on-camera
+    state = state.replace(goal=jnp.asarray([0.0, 0.1, 0.1], jnp.float32))
+    px = 48
+    with_goal = np.asarray(rnd.render_state(m.cfg, m.tree, m.arm, m.scene,
+                                            state, pixels=px))
+    cfg_off = dataclasses.replace(m.cfg, show_goal=False)
+    without = np.asarray(rnd.render_state(cfg_off, m.tree, m.arm, m.scene,
+                                          state, pixels=px))
+    assert np.abs(with_goal - without).max() > 0.05
