@@ -22,6 +22,11 @@ from .envs.wrapper import make, PlayEnv, BatchedEnv          # noqa: F401
 from .envs.config import EnvConfig, CATALOG                  # noqa: F401
 from .envs.state import EnvState                             # noqa: F401
 from .envs import core                                       # noqa: F401
+from .gym_registry import register_gym_envs                  # noqa: F401
+
+# mirror the reference's register-at-import surface
+# (roboticsPlayroomPybullet/__init__.py:3-99) when gym is present
+register_gym_envs()
 
 __version__ = "0.1.0"
 ENV_IDS = tuple(sorted(CATALOG))

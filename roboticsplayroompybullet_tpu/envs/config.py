@@ -7,7 +7,7 @@ jitted step function closes over — every `if cfg.x` resolves at trace time.
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -30,7 +30,10 @@ class EnvConfig:
     fixed_gripper: bool = False
     action_type: str = "absolute_rpy"
     show_goal: bool = True
-    max_episode_steps: int = 250
+    # None for play envs, matching envList.py:33-107 (horizons are never
+    # enforced by the env itself — done is always False,
+    # environments.py:212-213; the value is advisory for wrappers)
+    max_episode_steps: Optional[int] = 250
     env_range_low: Vec3 = (-0.18, -0.18, -0.05)
     env_range_high: Vec3 = (0.18, 0.18, 0.15)
     goal_range_low: Vec3 = (-0.18, -0.18, -0.05)
@@ -120,7 +123,7 @@ def _play_kwargs(arm, action_type, num_objects=1):
     return dict(
         arm=arm, num_objects=num_objects, play=True, use_orientation=True,
         return_velocity=False, action_type=action_type, show_goal=False,
-        max_episode_steps=0,
+        max_episode_steps=None,
         env_range_low=(-1.0, -1.0, -0.2), env_range_high=(1.0, 1.0, 1.0),
         goal_range_low=(-0.18, 0.0, 0.05), goal_range_high=(0.18, 0.3, 0.1),
         obj_lower_bound=(-0.18, 0.0, 0.05), obj_upper_bound=(0.18, 0.3, 0.1),

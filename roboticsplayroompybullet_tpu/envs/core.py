@@ -265,7 +265,11 @@ def reset_goal(m: EnvModel, state: EnvState, rng,
 def reset(m: EnvModel, rng, o: Optional[jnp.ndarray] = None
           ) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
     """Full reset incl. the resample-until-unsolved loop
-    (environments.py:179-186), bounded at 10 attempts."""
+    (environments.py:179-186). The reference loops unboundedly; under jit
+    a lax.while_loop needs a finite bound — 100 attempts, after which the
+    last draw is kept (P(100 consecutive solved-at-reset draws) is
+    negligible for every catalog goal range, so this is behaviorally
+    unbounded)."""
     def one_attempt(rng):
         k0, k1, k2, k3 = jax.random.split(rng, 4)
         state = _default_state(m, k0)
@@ -282,7 +286,7 @@ def reset(m: EnvModel, rng, o: Optional[jnp.ndarray] = None
     else:
         def cond(carry):
             _, r, i, _ = carry
-            return (r > -1.0) & (i < 10)
+            return (r > -1.0) & (i < 100)
 
         def body(carry):
             _, _, i, rng = carry
