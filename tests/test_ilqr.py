@@ -69,6 +69,40 @@ def test_ilqr_plan_improves_reach():
     assert np.all(np.isfinite(np.asarray(res.us)))
 
 
+def test_ilqr_plan_improves_pick_contact():
+    """iLQR THROUGH contact: pandaPick starts with the block resting on
+    the floor (active floor rows in the 16-iteration impulse scan), so the
+    backward pass differentiates the Jacobi solve. Gradients must stay
+    finite and informative; the plan must not regress.
+
+    2 substeps (same code path, compile-bound CPU) — jacrev of the full
+    contact step is the heaviest jaxpr in the suite."""
+    m = core.build_model(dataclasses.replace(
+        CATALOG["pandaPick-v0"], substeps=2))
+    state, _ = jax.jit(lambda k: core.reset(m, k))(jax.random.PRNGKey(7))
+    H = 3
+    us0 = jnp.zeros((H, m.cfg.action_dim))
+    f = make_flat_dynamics(m, state)
+    stage, final = make_stage_cost(m, state)
+    x0 = _extract(state)
+    _, c0 = _rollout_flat(f, stage, final, x0, us0)
+
+    # raw gradient through the impulse solve: finite and nonzero
+    g = jax.jit(jax.grad(
+        lambda u: _rollout_flat(f, stage, final, x0, u)[1]))(us0)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g)), "NaN/inf gradient through contact solve"
+    assert np.abs(g).max() > 0.0, "dead gradient through contact solve"
+
+    res = jax.jit(lambda s, u: sol.ilqr_plan(m, s, u,
+                                             sol.ILQRConfig(iters=3)))(
+        state, us0)
+    assert np.all(np.isfinite(np.asarray(res.us)))
+    assert np.all(np.isfinite(np.asarray(res.cost_trace)))
+    assert float(res.cost) <= float(c0) + 1e-6
+    assert float(res.cost) < float(c0)      # strictly improves from zeros
+
+
 def test_gradient_refine_improves_reach():
     m = core.build_model(dataclasses.replace(
         CATALOG["UR5Reach-v0"], substeps=3))
