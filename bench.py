@@ -15,7 +15,9 @@ per-executable time budget and faults — use 4096 there).
 
 Prints ONE JSON line:
   {"metric": "rollouts_per_s_per_chip_H40", "value": N, "unit": "rollouts/s",
-   "vs_baseline": N/10000}
+   "vs_baseline": N/10000, "mpc_ms_per_solve": M, "mpc_vs_target_20ms": 20/M}
+The mpc fields time one fused-MPPI replan (pop=1024, H=10, 2 iters, full
+playroom) against the ≤20 ms BASELINE.md target; BENCH_MPC=0 skips them.
 
 The reference publishes no numbers (its single CPU PyBullet env steps one
 instance at a time); vs_baseline is measured against the 10k/s/chip
@@ -31,12 +33,12 @@ import jax
 import jax.numpy as jnp
 
 # persistent compile cache: repeat bench runs skip the ~10 min XLA
-# compile on this 1-core host (works for both the cpu and tpu backends)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/jax_cache_playroom"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# compile on this 1-core host (works for both the cpu and tpu backends).
+# Host-fingerprinted — foreign-machine AOT entries SIGILL/abort
+# (utils/jaxcache.py).
+from roboticsplayroompybullet_tpu.utils import jaxcache
+
+jaxcache.setup(jax)
 
 
 def main():
@@ -82,12 +84,48 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     value = B / best
-    print(json.dumps({
+
+    # --- MPC solve latency (BASELINE.md: ≤20 ms/solve real-time loop) ----
+    # The fused MPPI planner: pop=1024 candidates, H=10, 2 refinement
+    # iterations, full playroom preview model. Timed as a CHAIN of K
+    # sequential replans (each consuming the previous plan state, so no
+    # two solves can overlap on-device) with ONE scalar readback at the
+    # end: the receding-horizon deployment pattern, where dispatch
+    # pipelines and the tunnel's ~25-30 ms host↔device round-trip is paid
+    # once per readback, not per solve. Skippable via BENCH_MPC=0.
+    mpc_ms = None
+    if os.environ.get("BENCH_MPC", "1") != "0" and path == "fused":
+        from roboticsplayroompybullet_tpu import solver as sol
+
+        mcfg = sol.MPCConfig(horizon=10, pop=1024, iters=2,
+                             algorithm="mppi")
+        planner = jax.jit(sol.make_fused_planner(m, mcfg))
+        st0 = jax.tree.map(lambda x: x[0], states)
+        pl0 = sol.init_plan(m, mcfg)
+        K = int(os.environ.get("BENCH_MPC_CHAIN", "10"))
+        kkeys = jax.random.split(jax.random.PRNGKey(100), reps * K + 1)
+        pl, _ = planner(st0, pl0, kkeys[-1])       # warm the executable
+        float(pl.mean.sum())                       # sync (see above)
+        best_mpc = float("inf")
+        for i in range(reps):
+            pl = pl0
+            t0 = time.perf_counter()
+            for j in range(K):
+                pl, _ = planner(st0, pl, kkeys[i * K + j])
+            float(pl.mean.sum())
+            best_mpc = min(best_mpc, (time.perf_counter() - t0) / K)
+        mpc_ms = best_mpc * 1e3
+
+    out = {
         "metric": "rollouts_per_s_per_chip_H40",
         "value": round(value, 1),
         "unit": "rollouts/s",
         "vs_baseline": round(value / 10000.0, 3),
-    }))
+    }
+    if mpc_ms is not None:
+        out["mpc_ms_per_solve"] = round(mpc_ms, 2)
+        out["mpc_vs_target_20ms"] = round(20.0 / mpc_ms, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
