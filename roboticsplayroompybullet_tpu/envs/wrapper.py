@@ -266,7 +266,10 @@ class PlayEnv:
 
     def vr_activation(self, vr=None):
         raise NotImplementedError(
-            "VR teleop requires the CPU mirror process; see README")
+            "VR teleop's SHARED_MEMORY attach (environments.py:252-267) "
+            "has no TPU analogue; drive this env from an external teleop "
+            "process via tools/teleop_bridge.py (JSON over stdio/TCP, "
+            "state injection + step)")
 
     @property
     def instance(self):

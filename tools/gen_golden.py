@@ -1,0 +1,69 @@
+"""(Re)generate golden trajectory files for tests/test_golden.py.
+
+Runs a fixed-seed, fixed-action rollout on the CPU backend for each
+pinned env and stores the injected start state, action sequence, and the
+resulting EE / achieved-goal / joint trajectories. These are regression
+anchors: any physics, IK, or observation change that moves a trajectory
+by more than the test tolerance must be deliberate — regenerate with
+
+    python tools/gen_golden.py
+
+and commit the diff together with the change that caused it (mirrors the
+role golden replay data plays in the reference's learning_from_play
+deploy rig, reference environments.py:173-187 state injection).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests",
+                          "golden")
+ENVS = {
+    # env id -> (steps, action scale)
+    "UR5Reach-v0": (25, 0.25),
+    "pandaPick-v0": (25, 0.25),
+    "UR5PlayAbsRPY1Obj-v0": (25, 0.25),
+}
+
+
+def rollout(env_id: str, steps: int, scale: float):
+    from roboticsplayroompybullet_tpu.envs import wrapper
+
+    env = wrapper.make(env_id, seed=7)
+    obs = env.reset()
+    o0 = np.asarray(obs["obs_quat"], np.float32)
+    obs = env.reset(o=o0)
+    rng = np.random.default_rng(0)
+    acts = rng.uniform(-scale, scale,
+                       (steps, env.cfg.action_dim)).astype(np.float32)
+    ee, ag, q = [], [], []
+    for a in acts:
+        obs, _, _, _ = env.step(a)
+        ee.append(obs["controllable_achieved_goal"][:3])
+        ag.append(obs["achieved_goal"])
+        q.append(np.asarray(env.state.q))
+    return dict(o0=o0, actions=acts, ee=np.asarray(ee),
+                ag=np.asarray(ag), q=np.asarray(q))
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for env_id, (steps, scale) in ENVS.items():
+        data = rollout(env_id, steps, scale)
+        path = os.path.join(GOLDEN_DIR, env_id.replace("-", "_") + ".npz")
+        with open(path, "wb") as f:
+            np.savez(f, **data)
+        print(f"{env_id}: wrote {path}  ee_final={data['ee'][-1]}")
+
+
+if __name__ == "__main__":
+    main()
