@@ -24,9 +24,23 @@ def cache_dir() -> str:
     override = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if override:
         return override
+    # Hash model identity (family/model/stepping/model name) AND flags:
+    # LLVM derives tuning features (e.g. prefer-no-scatter) from the CPUID
+    # model, so two hosts with identical flag lists but different models
+    # still produce incompatible AOT executables (observed: a VM
+    # rescheduled onto different physical hardware between rounds kept
+    # the same flags hash but tripped cpu_aot_loader feature mismatches).
+    keys = ("flags", "model name", "cpu family", "model\t",
+            "model:", "stepping", "vendor_id")
     try:
         with open("/proc/cpuinfo") as f:
-            fp = next((ln for ln in f if ln.startswith("flags")), "")
+            lines = []
+            for ln in f:
+                if not ln.strip():
+                    break               # first processor block only
+                if any(ln.startswith(k) for k in keys):
+                    lines.append(ln)
+        fp = "".join(lines)
     except OSError:
         fp = ""
     fp = fp or platform.machine() + platform.processor()
