@@ -181,7 +181,7 @@ def make_sharded_fused_rollout(m: EnvModel, mesh, horizon: int,
     Per-shard batch (global B / mesh size) must be a multiple of
     block_envs. Returns jitted (states, actions) → (final, rs, ags) with
     batch-sharded in/outputs."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from .mesh import batch_spec
 
     roll = make_fused_rollout_whole(m, horizon, interpret=interpret,
@@ -192,7 +192,7 @@ def make_sharded_fused_rollout(m: EnvModel, mesh, horizon: int,
     spec = batch_spec(mesh)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec, spec),
-             out_specs=(spec, spec, spec), check_rep=False)
+             out_specs=(spec, spec, spec), check_vma=False)
     def _sharded(states, actions):
         return roll(states, actions)
 

@@ -18,7 +18,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..envs import core
 from ..envs.core import EnvModel
@@ -77,7 +77,7 @@ def make_sharded_rollout(m: EnvModel, mesh):
 
     @partial(shard_map, mesh=mesh,
              in_specs=(spec, spec), out_specs=(spec, spec, spec),
-             check_rep=False)
+             check_vma=False)
     def _sharded(states, actions):
         return batched_rollout(m, states, actions)
 
@@ -88,7 +88,7 @@ def make_sharded_step(m: EnvModel, mesh):
     spec = batch_spec(mesh)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec, spec),
-             out_specs=(spec, spec, spec, spec), check_rep=False)
+             out_specs=(spec, spec, spec, spec), check_vma=False)
     def _sharded(states, actions):
         return batched_step(m, states, actions)
 

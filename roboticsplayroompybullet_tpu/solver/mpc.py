@@ -22,7 +22,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..envs import core
@@ -238,7 +238,7 @@ def make_sharded_fused_planner(m: EnvModel, cfg: MPCConfig, mesh,
     high = jnp.asarray(m.cfg.action_high, jnp.float32)
 
     @partial(shard_map, mesh=mesh, in_specs=(rep, rep, rep),
-             out_specs=(rep, rep), check_rep=False)
+             out_specs=(rep, rep), check_vma=False)
     def _plan(state, plan_state, key):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
@@ -278,7 +278,7 @@ def make_sharded_planner(m: EnvModel, cfg: MPCConfig, mesh):
     rep = P()
 
     @partial(shard_map, mesh=mesh, in_specs=(rep, rep, rep),
-             out_specs=(rep, rep), check_rep=False)
+             out_specs=(rep, rep), check_vma=False)
     def _plan(state, plan_state, key):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
