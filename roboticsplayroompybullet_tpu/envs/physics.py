@@ -323,7 +323,12 @@ def gripper_targets(arm: ArmConfig, tree: KineTree, q, grip_cmd, dt):
 
 
 def physics_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
-                    scene: Scene, state: EnvState) -> EnvState:
+                    scene: Scene, state: EnvState, lam0=None,
+                    solve_iters: int = None):
+    """One 300 Hz substep. Returns (state', lam): `lam` is the solver's
+    final contact impulses — pass back as `lam0` next substep to warm-start
+    (run_simulation does; see contact_solver.solve). With warm starting,
+    8 Jacobi iterations match the old cold 16 on persistent contacts."""
     dt = cfg.dt
     n_arm = arm.n_arm
     n_obj = cfg.num_objects
@@ -390,7 +395,9 @@ def physics_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         grip_u, inv_m_grip, grip_qd, dt,
         pad_J=geo.pad_J, inv_D_arm=inv_D_arm,
         art_at_lower=state.art_q <= jnp.asarray(scene.art_lower) + eps_lim,
-        art_at_upper=state.art_q >= jnp.asarray(scene.art_upper) - eps_lim)
+        art_at_upper=state.art_q >= jnp.asarray(scene.art_upper) - eps_lim,
+        lam0=lam0,
+        **({} if solve_iters is None else {"iters": solve_iters}))
     art_qd = res.art_qd
 
     # write solved gripper-driver velocities back into the arm, and apply
@@ -416,19 +423,41 @@ def physics_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
     art_qd = jnp.where(art_q != art_q_c, 0.0, art_qd)
     art_q = art_q_c
 
-    return state.replace(q=q_new, qd=qd_new, obj_pos=obj_pos,
-                         obj_quat=obj_quat, obj_vel=obj_vel,
-                         obj_angvel=obj_angvel, art_q=art_q, art_qd=art_qd)
+    state = state.replace(q=q_new, qd=qd_new, obj_pos=obj_pos,
+                          obj_quat=obj_quat, obj_vel=obj_vel,
+                          obj_angvel=obj_angvel, art_q=art_q, art_qd=art_qd)
+    return state, res.lam
+
+
+def contact_row_count(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
+                      scene: Scene, state: EnvState) -> int:
+    """Static contact row count C for this env (trace-only, no FLOPs)."""
+    def rows_of(st):
+        kin = dyn.fk_vel(tree, st.q, st.qd)
+        return gather_contacts(cfg, tree, arm, scene, st, kin, st.qd
+                               ).rows.depth
+    return jax.eval_shape(rows_of, state).shape[-1]
 
 
 def run_simulation(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                    scene: Scene, state: EnvState,
-                   n_substeps: int = None) -> EnvState:
-    """12 substeps per control tick (environments.py:485-490)."""
+                   n_substeps: int = None,
+                   solve_iters: int = None) -> EnvState:
+    """12 substeps per control tick (environments.py:485-490).
+
+    Contact impulses warm-start across the substeps (zeros on the first —
+    the carry stays uniform so the scan body compiles once); they are NOT
+    carried across control steps, keeping EnvState / checkpoints layout-
+    stable."""
     n = n_substeps if n_substeps is not None else cfg.substeps
+    C = contact_row_count(cfg, tree, arm, scene, state)
+    lam = (jnp.zeros(C, jnp.float32),) * 3
 
-    def body(s, _):
-        return physics_substep(cfg, tree, arm, scene, s), None
+    def body(carry, _):
+        s, l = carry
+        s, l = physics_substep(cfg, tree, arm, scene, s, lam0=l,
+                               solve_iters=solve_iters)
+        return (s, l), None
 
-    state, _ = jax.lax.scan(body, state, None, length=n)
+    (state, _), _ = jax.lax.scan(body, (state, lam), None, length=n)
     return state

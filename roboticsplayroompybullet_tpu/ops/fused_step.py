@@ -710,8 +710,9 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
                st: dict, inv_I_world, inv_m_blk,
                u_g, inv_m_grip, grip_qd0, art_qd0, dt: float,
                pad_J=None, inv_D_arm=None,
-               iters: int = 16, relax: float = 1.0, beta: float = 0.2,
-               slop: float = 5e-4, v_push_max: float = 0.05):
+               iters: int = 8, relax: float = 1.0, beta: float = 0.2,
+               slop: float = 5e-4, v_push_max: float = 0.05,
+               lam0=None):
     n_obj = cfg.num_objects
     G = len(u_g)
     lane_shape = st["art_q"].shape[1:]
@@ -851,30 +852,17 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
             return -vB
         return vA - vB
 
-    def body(carry):
-        ov, ow, aqd, gqd, adqd, lams = carry
+    def apply_all(ov, ow, aqd, gqd, adqd, imps):
+        """Apply per-bundle world impulses (list of (3,R,S,L), on side A;
+        −imp on side B) to all solver participants + gear projection —
+        shared by the per-iteration update and the warm-start init
+        (contact_solver.apply_impulses/gear_project)."""
         d_ov = [jnp.zeros_like(v) for v in ov]
         d_ow = [jnp.zeros_like(v) for v in ow]
         d_aqd = [jnp.zeros_like(aqd[0]) for _ in range(4)]
         d_gqd = [jnp.zeros_like(g) for g in gqd]
         d_arm = [jnp.zeros_like(aqd[0]) for _ in range(max(n_arm, 1))]
-        new_lams = []
-        for bi, (bd, pr) in enumerate(zip(bundles, pre)):
-            ln_, lt1, lt2 = lams[bi]
-            v_rel = rel_vel(bd, pr, ov, ow, aqd, gqd, adqd)
-            vn = ln.dot(v_rel, bd.normal)
-            dln = relax * (pr["v_target"] - vn) / pr["k_n"]
-            new_ln = jnp.maximum(ln_ + dln, 0.0) * pr["af"]
-            dln = new_ln - ln_
-            vt1 = ln.dot(v_rel, pr["t1"])
-            vt2 = ln.dot(v_rel, pr["t2"])
-            cap = bd.mu * new_ln
-            new_lt1 = jnp.clip(lt1 + relax * (-vt1) / pr["k_t1"],
-                               -cap, cap) * pr["af"]
-            new_lt2 = jnp.clip(lt2 + relax * (-vt2) / pr["k_t2"],
-                               -cap, cap) * pr["af"]
-            imp = (dln[None] * bd.normal + (new_lt1 - lt1)[None] * pr["t1"]
-                   + (new_lt2 - lt2)[None] * pr["t2"])
+        for (bd, pr), imp in zip(zip(bundles, pre), imps):
             if bd.a >= 0:
                 d_ov[bd.a] = d_ov[bd.a] + jnp.sum(imp, axis=1) * inv_m_blk
                 torq = jnp.sum(ln.cross(pr["r_a"], imp), axis=1)
@@ -902,7 +890,6 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
                         continue
                     jj = -jnp.sum(ln.dot(col[:, None], imp), axis=0)
                     d_arm[j] = d_arm[j] + jj * inv_D_arm[j]
-            new_lams.append((new_ln, new_lt1, new_lt2))
         ov = [v + d for v, d in zip(ov, d_ov)]
         ow = [v + d for v, d in zip(ow, d_ow)]
         aqd = aqd + jnp.stack(d_aqd)
@@ -914,18 +901,60 @@ def lane_solve(cfg: EnvConfig, scene: Scene, bundles: List[Bundle],
             err = gqd[0] - gqd[1]
             p = err / (w0 + w1)
             gqd = [gqd[0] - p * w0, gqd[1] + p * w1]
+        return ov, ow, aqd, gqd, adqd
+
+    def body(carry):
+        ov, ow, aqd, gqd, adqd, lams = carry
+        new_lams, imps = [], []
+        for bi, (bd, pr) in enumerate(zip(bundles, pre)):
+            ln_, lt1, lt2 = lams[bi]
+            v_rel = rel_vel(bd, pr, ov, ow, aqd, gqd, adqd)
+            vn = ln.dot(v_rel, bd.normal)
+            dln = relax * (pr["v_target"] - vn) / pr["k_n"]
+            new_ln = jnp.maximum(ln_ + dln, 0.0) * pr["af"]
+            dln = new_ln - ln_
+            vt1 = ln.dot(v_rel, pr["t1"])
+            vt2 = ln.dot(v_rel, pr["t2"])
+            cap = bd.mu * new_ln
+            new_lt1 = jnp.clip(lt1 + relax * (-vt1) / pr["k_t1"],
+                               -cap, cap) * pr["af"]
+            new_lt2 = jnp.clip(lt2 + relax * (-vt2) / pr["k_t2"],
+                               -cap, cap) * pr["af"]
+            imps.append(dln[None] * bd.normal
+                        + (new_lt1 - lt1)[None] * pr["t1"]
+                        + (new_lt2 - lt2)[None] * pr["t2"])
+            new_lams.append((new_ln, new_lt1, new_lt2))
+        ov, ow, aqd, gqd, adqd = apply_all(ov, ow, aqd, gqd, adqd, imps)
         return ov, ow, aqd, gqd, adqd, tuple(new_lams)
 
     ov = [st["obj_vel"][o] for o in range(n_obj)]
     ow = [st["obj_angvel"][o] for o in range(n_obj)]
-    lams = tuple((jnp.zeros_like(bd.depth),) * 3 for bd in bundles)
     adqd0 = [jnp.zeros(lane_shape, jnp.float32)
              for _ in range(max(n_arm, 1))]
-    carry = (ov, ow, art_qd0, grip_qd0, adqd0, lams)
+    aqd0, gqd0 = art_qd0, grip_qd0
+    if lam0 is None:
+        lams = tuple((jnp.zeros_like(bd.depth),) * 3 for bd in bundles)
+    else:
+        # WARM START (contact_solver.solve lam0 branch): re-mask by the
+        # current active set, re-cap friction, apply to free velocities
+        lams, imps0 = [], []
+        for bi, (bd, pr) in enumerate(zip(bundles, pre)):
+            l0n, l0t1, l0t2 = lam0[bi]
+            ln_w = jnp.maximum(l0n, 0.0) * pr["af"]
+            cap0 = bd.mu * ln_w
+            lt1_w = jnp.clip(l0t1, -cap0, cap0) * pr["af"]
+            lt2_w = jnp.clip(l0t2, -cap0, cap0) * pr["af"]
+            imps0.append(ln_w[None] * bd.normal + lt1_w[None] * pr["t1"]
+                         + lt2_w[None] * pr["t2"])
+            lams.append((ln_w, lt1_w, lt2_w))
+        lams = tuple(lams)
+        ov, ow, aqd0, gqd0, adqd0 = apply_all(ov, ow, aqd0, gqd0, adqd0,
+                                              imps0)
+    carry = (ov, ow, aqd0, gqd0, adqd0, lams)
     # fori_loop keeps the traced/Mosaic instruction count at ONE iteration
     carry = jax.lax.fori_loop(0, iters, lambda i, c: body(c), carry)
-    ov, ow, aqd, gqd, adqd, _ = carry
-    return ov, ow, aqd, gqd, adqd
+    ov, ow, aqd, gqd, adqd, lams = carry
+    return ov, ow, aqd, gqd, adqd, lams
 
 
 # ---------------------------------------------------------------------------
@@ -937,13 +966,13 @@ STATE_KEYS = ("q", "qd", "obj_pos", "obj_quat", "obj_vel", "obj_angvel",
 
 
 def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
-                      scene: Scene, solve_iters: int = 16):
+                      scene: Scene, solve_iters: int = 8):
     dt = float(cfg.dt)
     n_arm = arm.n_arm
     n_dof = tree.n_dof
     n_obj = cfg.num_objects
 
-    def substep(st: dict, ctrl_q, grip):
+    def substep(st: dict, ctrl_q, grip, lam0=None):
         q, qd = st["q"], st["qd"]
         lower_c = cvec(tree.lower, q[0])
         upper_c = cvec(tree.upper, q[0])
@@ -1034,10 +1063,11 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         grip_qd0 = [qd_arm[d] for d in grip_dofs]
         inv_D_arm = [1.0 / jnp.maximum(D[j], 1e-4) for j in range(n_arm)]
 
-        ov, ow, aqd, gqd, adqd = lane_solve(
+        ov, ow, aqd, gqd, adqd, lams = lane_solve(
             cfg, scene, bundles, st2, inv_I_world, inv_m_blk,
             u_g, inv_m_grip, grip_qd0, art_qd, dt,
-            pad_J=aux["pad_J"], inv_D_arm=inv_D_arm, iters=solve_iters)
+            pad_J=aux["pad_J"], inv_D_arm=inv_D_arm, iters=solve_iters,
+            lam0=lam0)
 
         # write solved gripper-driver velocities back + arm-coupled
         # contact correction (row rebuild: scatter has no Mosaic lowering)
@@ -1073,32 +1103,45 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         art_q_c = jnp.clip(art_q, art_lo, art_hi)
         out["art_qd"] = jnp.where(art_q != art_q_c, 0.0, aqd)
         out["art_q"] = art_q_c
-        return out
+        return out, lams
 
     return substep
 
 
 def make_lane_sim(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                   scene: Scene, n_substeps: Optional[int] = None,
-                  unroll: bool = False, solve_iters: int = 16):
-    """12-substep control interval on lane state (pure jnp; kernel body)."""
+                  unroll: bool = False, solve_iters: int = 8):
+    """12-substep control interval on lane state (pure jnp; kernel body).
+
+    Contact impulses warm-start across the substeps (zeros on the first,
+    mirroring envs/physics.run_simulation): the λ pytree rides the
+    fori_loop carry, never EnvState, so the packed layout is unchanged.
+    The zero init comes from an eval_shape trace of the substep (no ops
+    emitted), keeping the loop body compiled ONCE."""
     sub = make_lane_substep(cfg, tree, arm, scene, solve_iters=solve_iters)
     n = n_substeps if n_substeps is not None else cfg.substeps
 
+    def _lam0(st, ctrl_q, grip):
+        lam_sh = jax.eval_shape(lambda s, c, g: sub(s, c, g, None)[1],
+                                st, ctrl_q, grip)
+        return jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), lam_sh)
+
     def sim(st: dict, ctrl_q, grip):
         if unroll:
+            lam = _lam0(st, ctrl_q, grip)
             for _ in range(n):
-                st = sub(st, ctrl_q, grip)
+                st, lam = sub(st, ctrl_q, grip, lam)
             return st
 
         def body(i, carry):
-            d = dict(zip(STATE_KEYS, carry))
-            d = sub(d, ctrl_q, grip)
-            return tuple(d[k] for k in STATE_KEYS)
+            d, lam = carry
+            d = dict(zip(STATE_KEYS, d))
+            d, lam = sub(d, ctrl_q, grip, lam)
+            return (tuple(d[k] for k in STATE_KEYS), lam)
 
-        carry = tuple(st[k] for k in STATE_KEYS)
+        carry = (tuple(st[k] for k in STATE_KEYS), _lam0(st, ctrl_q, grip))
         carry = jax.lax.fori_loop(0, n, body, carry)
-        return dict(zip(STATE_KEYS, carry))
+        return dict(zip(STATE_KEYS, carry[0]))
 
     return sim
 
@@ -1483,7 +1526,7 @@ def make_lane_control(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
 def make_pallas_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                      scene: Scene, n_substeps: Optional[int] = None,
                      block_envs: int = 1024, interpret: bool = False,
-                     ik_iters: Optional[int] = None, solve_iters: int = 16):
+                     ik_iters: Optional[int] = None, solve_iters: int = 8):
     """FULL control step (clip → control/IK → 12 substeps) as ONE kernel.
     sim_B(X (NF,B), actions (A,B)) → X'. ik_iters/solve_iters below the
     defaults yield a cheaper PREVIEW model (planner scoring), not the
@@ -1535,7 +1578,7 @@ def make_pallas_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
 def make_reference_step(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                         scene: Scene, n_substeps: Optional[int] = None,
                         ik_iters: Optional[int] = None,
-                        solve_iters: int = 16):
+                        solve_iters: int = 8):
     """Plain-jnp twin of make_pallas_step (oracle / CPU fallback).
     ik_iters/solve_iters mirror make_pallas_step's preview-model knobs."""
     rows, NF = _field_rows(cfg, tree)
@@ -1562,7 +1605,7 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                         n_substeps: Optional[int] = None,
                         block_envs: int = 1024, interpret: bool = False,
                         ik_iters: Optional[int] = None,
-                        solve_iters: int = 16):
+                        solve_iters: int = 8):
     """ENTIRE H-step rollout as ONE kernel invocation per env block.
 
     Each kernel call costs ~1.5 ms of fixed dispatch/launch overhead on the

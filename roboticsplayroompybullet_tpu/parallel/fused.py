@@ -65,7 +65,7 @@ def supports_fused(m: EnvModel) -> bool:
 
 def make_fused_rollout(m: EnvModel, interpret: bool = False,
                        block_envs: int = 1024, ik_iters=None,
-                       solve_iters: int = 16):
+                       solve_iters: int = 8):
     """(states (B,), actions (B, H, A)) → (final states, rewards (B, H),
     ags (B, H, ag_dim)). B must be a multiple of block_envs. ik_iters /
     solve_iters below defaults = cheaper preview model (planner use)."""
@@ -119,7 +119,7 @@ def _resolve_backend(backend: str) -> str:
 def make_fused_rollout_whole(m: EnvModel, horizon: int,
                              interpret: bool = False,
                              block_envs: int = 1024, ik_iters=None,
-                             solve_iters: int = 16,
+                             solve_iters: int = 8,
                              backend: str = "pallas",
                              n_substeps=None):
     """Whole-horizon single-kernel rollout: ONE pallas invocation per env
@@ -166,7 +166,7 @@ def make_fused_rollout_whole(m: EnvModel, horizon: int,
 def make_sharded_fused_rollout(m: EnvModel, mesh, horizon: int,
                                interpret: bool = False,
                                block_envs: int = 1024, ik_iters=None,
-                               solve_iters: int = 16,
+                               solve_iters: int = 8,
                                backend: str = "auto",
                                n_substeps=None):
     """Whole-horizon FUSED rollout with the env batch sharded over the mesh.

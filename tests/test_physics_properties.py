@@ -128,7 +128,7 @@ def test_substep_internal_collision_conserves_momentum():
         obj_vel=jnp.asarray([[0.4, 0.0, 0.0], [-0.4, 0.0, 0.0]],
                             jnp.float32))
     sub = jax.jit(lambda s: physics.physics_substep(m.cfg, m.tree, m.arm,
-                                                    m.scene, s))
+                                                    m.scene, s)[0])
     s2 = sub(state)
     dt = m.cfg.dt
     mass = float(m.scene.block_mass)
@@ -164,7 +164,7 @@ def test_sliding_block_friction_cone():
         obj_vel=state.obj_vel.at[0].set(
             jnp.asarray([0.5, 0.0, 0.0], jnp.float32)))
     sub = jax.jit(lambda s: physics.physics_substep(m.cfg, m.tree, m.arm,
-                                                    m.scene, s))
+                                                    m.scene, s)[0])
     dt = m.cfg.dt
     mu = 0.5 * float(np.asarray(m.scene.block_fric))
     cap = mu * (9.8 * dt + 0.05) + 1e-4      # v_push_max=0.05 (solver)
@@ -196,7 +196,7 @@ def test_passive_settling_energy_nonincrease():
         obj_quat=state.obj_quat.at[0].set(
             jnp.asarray([0., 0., 0., 1.], jnp.float32)))
     sub = jax.jit(lambda s: physics.physics_substep(m.cfg, m.tree, m.arm,
-                                                    m.scene, s))
+                                                    m.scene, s)[0])
     mass = float(m.scene.block_mass)
     h = np.asarray(m.scene.block_half)
     I = mass / 3.0 * np.array([h[1] ** 2 + h[2] ** 2,
