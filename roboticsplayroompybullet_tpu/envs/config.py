@@ -150,7 +150,11 @@ CATALOG = {
         env_range_low=(-0.18, -0.18, -0.055), env_range_high=(0.18, 0.18, 0.2),
         goal_range_low=(-0.18, -0.18, 0.0), goal_range_high=(0.18, 0.18, 0.1),
         obj_lower_bound=(-0.18, -0.18, 0.0), obj_upper_bound=(0.18, 0.18, 0.1)),
-    "pandaPlay-v0": EnvConfig(**_play_kwargs("Panda", "absolute_quat", 2)),
+    # the 2-obj pandaPlay uniquely deepens the obs-space z floor to -0.4
+    # (envList.py:30); all other play variants use -0.2
+    "pandaPlay-v0": EnvConfig(**{
+        **_play_kwargs("Panda", "absolute_quat", 2),
+        "env_range_low": (-1.0, -1.0, -0.4)}),
     "pandaPlay1Obj-v0": EnvConfig(**_play_kwargs("Panda", "absolute_quat")),
     "pandaPlayRel1Obj-v0": EnvConfig(**_play_kwargs("Panda", "relative_quat")),
     "pandaPlayJoints-v0": EnvConfig(**_play_kwargs("Panda", "relative_joints", 2)),

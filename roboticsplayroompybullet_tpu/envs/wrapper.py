@@ -9,6 +9,7 @@ plays in the reference's design notes (environments.py:52-57).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -65,6 +66,15 @@ class PlayEnv:
         self._rng = jax.random.PRNGKey(seed)
         self._state: Optional[EnvState] = None
         self.render_scene = False
+        # render('human') headless analogue of the reference's live GUI
+        # (environments.py:220-224): while render_scene is set, step()
+        # streams a PNG frame to this path every `human_render_every`
+        # steps for an external viewer to watch.
+        self.human_render_path = os.environ.get(
+            "PLAYROOM_HUMAN_RENDER", "/tmp/playroom_human.png")
+        self.human_render_every = int(os.environ.get(
+            "PLAYROOM_HUMAN_RENDER_EVERY", "5"))
+        self._human_step_count = 0
         self._record_images = False
         self._sub_goal = None
         self._jit_ghost_arm = None
@@ -97,6 +107,11 @@ class PlayEnv:
         obs = {k: np.asarray(v) for k, v in obs.items()}
         # 200x200 RGB when recording (environments.py:841-843)
         obs["img"] = self._render_frame() if self._record_images else None
+        if self.render_scene:
+            self._human_step_count += 1
+            if self._human_step_count % max(self.human_render_every, 1) == 0:
+                from ..utils.render import write_png
+                write_png(self.human_render_path, self._render_frame())
         return obs, float(r), False, {
             "is_success": float(info["is_success"]),
             "target_poses": np.asarray(info["target_poses"]),
@@ -263,6 +278,22 @@ class PlayEnv:
 
     def delete_sub_goal(self):
         self._sub_goal = None
+
+    def reset_arm_joints(self, poses):
+        """Hard-teleport the arm joints, bypassing dynamics — parity with
+        the reference's debug path (environments.py:558-563, used by
+        interactive.py:41-46 joint_control): writes q directly, zeroes
+        velocities, and re-seeds the servo targets so the next step holds
+        the teleported pose."""
+        poses = np.asarray(poses, np.float32)
+        n_arm = self.model.arm.n_arm
+        assert poses.shape[0] >= n_arm, (poses.shape, n_arm)
+        q = np.asarray(self._state.q).copy()
+        q[:n_arm] = poses[:n_arm]
+        self._state = self._state.replace(
+            q=jnp.asarray(q),
+            qd=jnp.zeros_like(self._state.qd),
+            ctrl_q=jnp.asarray(q[:n_arm]))
 
     def vr_activation(self, vr=None):
         raise NotImplementedError(

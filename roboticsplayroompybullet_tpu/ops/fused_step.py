@@ -1605,22 +1605,27 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                         n_substeps: Optional[int] = None,
                         block_envs: int = 1024, interpret: bool = False,
                         ik_iters: Optional[int] = None,
-                        solve_iters: int = 8):
+                        solve_iters: int = 8, with_ee: bool = False):
     """ENTIRE H-step rollout as ONE kernel invocation per env block.
 
     Each kernel call costs ~1.5 ms of fixed dispatch/launch overhead on the
     tunneled chip; folding the horizon loop inside amortizes it H-fold.
     roll_B(X (NF, B), actions (H, A, B)) → (X', ags (H, ag_dim, B)).
     Achieved goals: sliced from packed rows (object/play envs) or lane-FK
-    ee position (reach envs) — all 19 catalog ids are covered."""
+    ee position (reach envs) — all 19 catalog ids are covered.
+    with_ee=True appends the lane-FK ee world position (3 rows) to each
+    per-step ag — the MPC eval path's reach-shaping signal (solver/eval.py);
+    reward consumers slice fixed play indices so the tail is inert."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows, NF = _field_rows(cfg, tree)
     A_dim = cfg.action_dim
     n, no = tree.n_dof, cfg.num_objects
-    ag_dim = (7 * no + 4) if cfg.play else \
-        (((7 if cfg.use_orientation else 3) * no) if no else 3)
+    with_ee = with_ee and (no > 0 or cfg.play)   # reach ag already IS ee
+    ag_dim = ((7 * no + 4) if cfg.play else
+              (((7 if cfg.use_orientation else 3) * no) if no else 3)) \
+        + (3 if with_ee else 0)
     L = 128
     S = block_envs // L
     sim = make_lane_sim(cfg, tree, arm, scene, n_substeps,
@@ -1648,6 +1653,10 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
             parts.append(jnp.stack([art[0], art[1], art[2],
                                     (art[3] % 2.0) * np.pi
                                     / (2.2 * np.pi)]))
+        if with_ee:
+            pos_l, quat_l = lane_fk_links(tree, Xb[0:n])
+            ee_pos, _ = _lane_site_pose(tree, pos_l, quat_l, arm.ee_site)
+            parts.append(ee_pos)
         return jnp.concatenate(parts, axis=0)
 
     def kernel(x_ref, a_ref, y_ref, ag_ref):

@@ -6,8 +6,13 @@ into straight-line VPU code, and `vmap` batches thousands of configurations
 with the batch dim on the vector lanes. No data-dependent control flow.
 
 Reference parity:
-  * FK matches PyBullet link frames (getLinkState URDF-frame pose) for the
-    baked panda/ur5e trees — validated offline against recorded oracles.
+  * FK composes the baked URDF joint frames (models/panda_data.py /
+    ur5e_data.py, extracted verbatim from the reference URDFs) exactly as
+    PyBullet's getLinkState does; validated in-repo by analytic pose
+    identities and the kinematic property suite (tests/test_kinematics.py,
+    FIDELITY.md). A live PyBullet cross-check harness exists
+    (tools/validate_pybullet.py) but pybullet is not installable in this
+    sandbox, so no recorded-oracle fixture is committed.
   * IK reproduces the reference's two stabilizers *functionally*:
     rest-pose seeding (environments.py:591) and the UR5 shadow-client
     fixed-point re-solve (inverseKinematics.py:44-50) — here: DLS iterations

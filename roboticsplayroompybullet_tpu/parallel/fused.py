@@ -27,13 +27,16 @@ from ..models.playroom import dial_to_0_1_range
 from ..ops import fused_step as fs
 
 
-def _ag_row_gather(m: EnvModel):
+def _ag_row_gather(m: EnvModel, with_ee: bool = False):
     """Achieved goals out of the packed state X (NF, B) — mirrors
     obs.achieved_goal for every layout: object/play envs slice packed
     rows; reach envs run lane FK for the ee position (environments.py:835
-    FK branch), so all 19 catalog ids ride the fused path."""
+    FK branch), so all 19 catalog ids ride the fused path. with_ee appends
+    the lane-FK ee position (3 rows) for MPC reach shaping (inert for
+    reward consumers, which slice fixed play indices)."""
     cfg, tree, arm = m.cfg, m.tree, m.arm
     n, no = tree.n_dof, cfg.num_objects
+    with_ee = with_ee and (no > 0 or cfg.play)
     pos0 = 2 * n
     quat0 = pos0 + 3 * no
     art0 = quat0 + 4 * no + 6 * no
@@ -52,6 +55,10 @@ def _ag_row_gather(m: EnvModel):
             art = X[art0:art0 + 4]
             parts.append(jnp.stack([art[0], art[1], art[2],
                                     dial_to_0_1_range(art[3])]))
+        if with_ee:
+            pos_l, quat_l = fs.lane_fk_links(tree, X[0:n])
+            ee_pos, _ = fs._lane_site_pose(tree, pos_l, quat_l, arm.ee_site)
+            parts.append(ee_pos)
         return jnp.concatenate(parts, axis=0)      # (ag_dim, B)
 
     return ag
@@ -121,26 +128,27 @@ def make_fused_rollout_whole(m: EnvModel, horizon: int,
                              block_envs: int = 1024, ik_iters=None,
                              solve_iters: int = 8,
                              backend: str = "pallas",
-                             n_substeps=None):
+                             n_substeps=None, with_ee: bool = False):
     """Whole-horizon single-kernel rollout: ONE pallas invocation per env
     block for all H control steps (~1.5 ms fixed dispatch cost amortized
     H-fold vs the per-step kernel). Same signature as make_fused_rollout.
 
     backend: "pallas" (the TPU kernel; `interpret` emulates it on CPU),
     "reference" (the plain-jnp lane twin — same math, XLA-compiled; the
-    CPU fallback for sharded dryruns), or "auto"."""
+    CPU fallback for sharded dryruns), or "auto". with_ee appends the ee
+    world position to each per-step ag (see _ag_row_gather)."""
     backend = _resolve_backend(backend)
     if backend == "pallas":
         roll_B = fs.make_pallas_rollout(
             m.cfg, m.tree, m.arm, m.scene, horizon, block_envs=block_envs,
             interpret=interpret, ik_iters=ik_iters, solve_iters=solve_iters,
-            n_substeps=n_substeps)
+            n_substeps=n_substeps, with_ee=with_ee)
     else:
         stepk = fs.make_reference_step(m.cfg, m.tree, m.arm, m.scene,
                                        n_substeps=n_substeps,
                                        ik_iters=ik_iters,
                                        solve_iters=solve_iters)
-        ag_fn = _ag_row_gather(m)
+        ag_fn = _ag_row_gather(m, with_ee=with_ee)
 
         def roll_B(X, acts):                         # acts (H, A, B)
             def body(Xc, a):

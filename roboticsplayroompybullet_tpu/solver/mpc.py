@@ -63,6 +63,39 @@ def init_plan(m: EnvModel, cfg: MPCConfig) -> PlanState:
                                     jnp.float32))
 
 
+def init_plan_from_state(m: EnvModel, cfg: MPCConfig,
+                         state: EnvState) -> PlanState:
+    """Plan whose nominal sequence HOLDS the current pose.
+
+    For absolute action modes a zero mean commands the EE to the world
+    origin (environments.py:938-947 treats the action as an absolute
+    target) — a violent initial jerk that wrecks the search. Seed the mean
+    with the current EE pose / joint configuration instead ("stay still"),
+    so candidate 0 is a no-op and exploration is centered on the reachable
+    neighborhood. Relative modes already mean "stay" at zero."""
+    from ..envs.obs import ee_state
+    from ..ops import dynamics as dyn
+    from ..ops import spatial as sp
+
+    pl = init_plan(m, cfg)
+    at = m.cfg.action_type
+    if not at.startswith("absolute"):
+        return pl
+    if at == "absolute_joints":
+        hold = jnp.concatenate([state.q[:m.arm.n_arm],
+                                jnp.zeros(1, jnp.float32)])
+    else:
+        kin = dyn.fk_vel(m.tree, state.q, state.qd)
+        pos, quat, _, _ = ee_state(m.tree, m.arm, kin)
+        if at == "absolute_quat":
+            orn = [quat] if m.cfg.use_orientation else []
+        else:                                     # absolute_rpy
+            orn = [sp.quat_to_euler(quat)]
+        hold = jnp.concatenate([pos] + orn + [jnp.zeros(1, jnp.float32)])
+    mean = jnp.broadcast_to(hold, (cfg.horizon,) + hold.shape)
+    return PlanState(mean=mean.astype(jnp.float32), sigma=pl.sigma)
+
+
 def shift_plan(plan: PlanState, cfg: MPCConfig) -> PlanState:
     """Receding-horizon warm start: drop step 0, repeat the tail."""
     mean = jnp.concatenate([plan.mean[1:], plan.mean[-1:]], axis=0)
@@ -290,6 +323,122 @@ def make_sharded_planner(m: EnvModel, cfg: MPCConfig, mesh):
         return pl, best
 
     return jax.jit(_plan)
+
+
+def init_batched_plan(m: EnvModel, cfg: MPCConfig, n_envs: int,
+                      states: Optional[EnvState] = None) -> PlanState:
+    """PlanState with a leading env axis — one independent plan per env.
+    With `states`, each plan is seeded to hold that env's current pose
+    (init_plan_from_state)."""
+    if states is not None:
+        return jax.vmap(lambda s: init_plan_from_state(m, cfg, s))(states)
+    pl = init_plan(m, cfg)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (n_envs,) + x.shape),
+                        pl)
+
+
+def make_batched_fused_mpc_step(m: EnvModel, cfg: MPCConfig, n_envs: int,
+                                interpret: bool = False,
+                                backend: str = "pallas",
+                                block_envs: int = 1024,
+                                n_substeps: Optional[int] = None,
+                                exec_ik_iters: Optional[int] = None,
+                                exec_solve_iters: int = 8,
+                                cost_fn=None, with_ee: bool = False):
+    """One receding-horizon control step for a BATCH of independently
+    goal-conditioned envs — the task-competence eval path (tools/eval_mpc.py).
+
+    Each of the n_envs envs refines its own cfg.pop-candidate plan against
+    its own goal: all n_envs × pop preview rollouts ride ONE fused-kernel
+    batch (per-env MPPI/CEM statistics are a vmap over the env axis), then
+    every env advances one PARITY-model control step (full IK/solve iters —
+    the planner previews with the cheap model but is scored against the
+    reference-fidelity physics, reference hot loop environments.py:485-490).
+
+    backend/interpret/n_substeps mirror parallel/fused.py (reference = the
+    plain-jnp lane twin for CPU tests). cost_fn(ags_1 (H, agE), goal,
+    acts_1, params_1) → scalar overrides the default trajectory_cost
+    (eval.py supplies family-shaped costs; params_1 is the per-env slice of
+    the cost_params pytree passed to step_fn, so one compiled program
+    serves every goal family — the family is data). with_ee appends the ee
+    position to the preview ags the cost sees. Returns
+    step_fn(states, plans, key, cost_params={}) → (states', plans',
+    rewards, ags) with states (n_envs,), plans (n_envs, H, A) leaves,
+    rewards/ags (n_envs, …).
+    """
+    from ..parallel import fused as _fused
+    from ..ops import fused_step as fs
+
+    pop = cfg.pop
+    B = n_envs * pop
+    lane = block_envs if _fused._resolve_backend(backend) == "pallas" else 128
+    assert B % lane == 0, (n_envs, pop, lane)
+
+    roll = _fused.make_fused_rollout_whole(
+        m, cfg.horizon, interpret=interpret, block_envs=block_envs,
+        ik_iters=cfg.preview_ik_iters, solve_iters=cfg.preview_solve_iters,
+        backend=backend, n_substeps=n_substeps, with_ee=with_ee)
+    if cost_fn is None:
+        cost_fn = lambda ag1, g1, a1, p1: trajectory_cost(  # noqa: E731
+            m.cfg, ag1, g1, a1, cfg.weights)
+
+    # parity-model executed step (EnvState in/out), padded to one lane block
+    if _fused._resolve_backend(backend) == "pallas":
+        stepk = fs.make_pallas_step(m.cfg, m.tree, m.arm, m.scene,
+                                    block_envs=block_envs,
+                                    interpret=interpret,
+                                    ik_iters=exec_ik_iters,
+                                    solve_iters=exec_solve_iters,
+                                    n_substeps=n_substeps)
+        exec_B = block_envs
+    else:
+        stepk = fs.make_reference_step(m.cfg, m.tree, m.arm, m.scene,
+                                       n_substeps=n_substeps,
+                                       ik_iters=exec_ik_iters,
+                                       solve_iters=exec_solve_iters)
+        exec_B = ((n_envs + 127) // 128) * 128
+
+    update = _mppi_update if cfg.algorithm == "mppi" else _cem_update
+    high = jnp.asarray(m.cfg.action_high, jnp.float32)
+    ag_fn = partial(achieved_goal, m.cfg, m.tree, m.arm)
+    pad_idx = jnp.arange(exec_B) % n_envs
+
+    def step_fn(states: EnvState, plans: PlanState, key, cost_params=None):
+        cp = {} if cost_params is None else cost_params
+        states_rep = jax.tree.map(
+            lambda x: jnp.repeat(x, pop, axis=0), states)   # (B, ...)
+
+        def body(pls, k):
+            ks = jax.random.split(k, n_envs)
+            acts = jax.vmap(
+                lambda kk, p: _sample(kk, p, cfg, pop, high))(ks, pls)
+            _, _, ags = roll(states_rep,
+                             acts.reshape(B, cfg.horizon, -1))
+            ags = ags.reshape(n_envs, pop, cfg.horizon, -1)
+            costs = jax.vmap(
+                lambda agE, g1, actE, p1: jax.vmap(
+                    lambda ag1, a1: cost_fn(ag1, g1, a1, p1))(agE, actE),
+                )(ags, states.goal, acts, cp)
+            pls = jax.vmap(
+                lambda p, a, c: update(p, cfg, a, c, None))(pls, acts, costs)
+            return pls, None
+
+        keys = jax.random.split(key, cfg.iters)
+        plans, _ = jax.lax.scan(body, plans, keys)
+
+        a = plans.mean[:, 0]                                 # (n_envs, A)
+        sts_pad = jax.tree.map(lambda x: x[pad_idx], states)
+        X = fs.pack_state(m.cfg, m.tree, sts_pad)
+        X2 = stepk(X, a[pad_idx].T.astype(jnp.float32))
+        sts2_pad = fs.unpack_state(m.cfg, m.tree, X2, sts_pad)
+        states2 = jax.tree.map(lambda x: x[:n_envs], sts2_pad)
+        states2 = states2.replace(t=states.t + 1)
+        ags = jax.vmap(ag_fn)(states2)
+        rs = compute_reward(m.cfg, ags, states2.goal)
+        plans2 = jax.vmap(lambda p: shift_plan(p, cfg))(plans)
+        return states2, plans2, rs, ags
+
+    return step_fn
 
 
 def make_fused_mpc_rollout(m: EnvModel, cfg: MPCConfig, n_steps: int,

@@ -18,9 +18,11 @@ dial).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -291,3 +293,35 @@ def wrist_camera(tree: KineTree, arm: ArmConfig, state: EnvState) -> Camera:
     fwd = sp.quat_rotate(q2, jnp.array([1.0, 0.0, 0.0], jnp.float32))
     up = sp.quat_rotate(q2, jnp.array([0.0, 0.0, 1.0], jnp.float32))
     return camera_from_pose(pos, fwd, up)
+
+
+def write_png(path: str, img) -> None:
+    """Minimal dependency-free PNG writer (8-bit RGB).
+
+    The headless analogue of the reference's live GUI window
+    (environments.py:220-224 p.connect(p.GUI)): render('human') streams
+    frames to a file a viewer can watch. Pure stdlib (zlib/struct)."""
+    import struct
+    import zlib
+
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
+    h, w = a.shape[:2]
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 6))
+           + chunk(b"IEND", b""))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(png)
+    os.replace(tmp, path)

@@ -6,6 +6,8 @@ from roboticsplayroompybullet_tpu.utils.episodelog import (
     EpisodeWriter, EpisodeReader, _load_lib)
 
 
+pytestmark = pytest.mark.smoke
+
 FIELDS = {"obs": 5, "act": 3}
 
 

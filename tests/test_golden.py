@@ -20,6 +20,8 @@ import pytest
 
 from roboticsplayroompybullet_tpu.envs import wrapper
 
+pytestmark = pytest.mark.smoke
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 ENVS = ["UR5Reach-v0", "pandaPick-v0", "UR5PlayAbsRPY1Obj-v0"]
 

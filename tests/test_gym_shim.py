@@ -7,6 +7,8 @@ import pytest
 from roboticsplayroompybullet_tpu.envs.config import CATALOG
 from roboticsplayroompybullet_tpu import gym_registry
 
+pytestmark = pytest.mark.smoke
+
 
 class _FakeReg:
     """Minimal gym-like registration surface."""

@@ -7,6 +7,8 @@ from roboticsplayroompybullet_tpu.utils.episodelog import (
     EpisodeWriter, EpisodeReader)
 from roboticsplayroompybullet_tpu.learn import lfp
 
+pytestmark = pytest.mark.smoke
+
 FIELDS = {"obs_quat": 6, "action": 2, "achieved_goal": 3}
 
 

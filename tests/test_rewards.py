@@ -5,6 +5,9 @@ import jax.numpy as jnp
 from roboticsplayroompybullet_tpu.envs.config import EnvConfig, CATALOG
 from roboticsplayroompybullet_tpu.envs import rewards
 from roboticsplayroompybullet_tpu.models.playroom import dial_to_0_1_range
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 PLAY = CATALOG["UR5PlayAbsRPY1Obj-v0"]
 REACH = CATALOG["UR5Reach-v0"]

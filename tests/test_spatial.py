@@ -3,6 +3,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from roboticsplayroompybullet_tpu.ops import spatial as sp
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _rand_quat(rng, n=()):

@@ -6,6 +6,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 

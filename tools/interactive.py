@@ -12,8 +12,14 @@ Commands at the prompt:
   x/y/z/r/p/w <delta>   nudge EE position (m) / roll-pitch-yaw (rad)
   g <0..1>              gripper target (0 open, 1 closed)
   a <v1 v2 ...>         raw action vector passed straight to env.step
+  j <q1 q2 ...>         hard-teleport arm joints (reference
+                        interactive.py:41-46 joint_control: bypasses
+                        dynamics via reset_arm_joints), then one hold step
+  j <i> <val>           teleport a single joint i to val (rad)
   goal                  resample the goal;   show  print current obs
   render                dump a 200x200 RGB frame to /tmp/interactive.png
+  human                 toggle render('human'): stream PNG frames to
+                        $PLAYROOM_HUMAN_RENDER (default /tmp/playroom_human.png)
   reset                 env.reset();         quit  exit
 
 First jit of a play env compiles in ~1-2 min on the tunneled chip; after
@@ -60,7 +66,7 @@ def main():
               f"r={float(r):+.2f} success={float(info['is_success']):.0f}")
 
     print(f"{args.env} ready — commands: x/y/z/r/p/w <d>, g <v>, a <...>, "
-          "goal, show, render, reset, quit")
+          "j <...>, goal, show, render, human, reset, quit")
     while True:
         try:
             line = input("> ").strip()
@@ -94,6 +100,29 @@ def main():
             except ImportError:
                 np.save("/tmp/interactive.npy", img)
                 print("  (no PIL) wrote /tmp/interactive.npy")
+            continue
+        elif cmd == "j":
+            n_arm = env.model.arm.n_arm
+            vals = [float(v) for v in tok[1:]]
+            if len(vals) == 2 and vals[0] == int(vals[0]) \
+                    and 0 <= int(vals[0]) < n_arm:
+                poses = np.asarray(env.state.q[:n_arm]).copy()
+                poses[int(vals[0])] = vals[1]
+            elif len(vals) >= n_arm:
+                poses = np.asarray(vals[:n_arm], np.float32)
+            else:
+                print(f"  j needs {n_arm} joint values or '<i> <val>'")
+                continue
+            env.reset_arm_joints(poses)
+            print("  q[:%d] = %s" % (n_arm, np.round(poses, 3)))
+            continue
+        elif cmd == "human":
+            if env.render_scene:
+                env.render_scene = False
+            else:
+                env.render("human")
+            print(f"  human-render {'ON' if env.render_scene else 'OFF'} "
+                  f"→ {env.human_render_path}")
             continue
         elif cmd == "a":
             act = np.asarray([float(v) for v in tok[1:]], np.float32)
