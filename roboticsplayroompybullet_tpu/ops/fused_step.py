@@ -965,6 +965,18 @@ STATE_KEYS = ("q", "qd", "obj_pos", "obj_quat", "obj_vel", "obj_angvel",
               "art_q", "art_qd")
 
 
+def state_keys(cfg) -> tuple:
+    """STATE_KEYS minus the object fields when num_objects == 0 (reach
+    envs). Zero-row object arrays must never exist inside the Pallas
+    kernel: Mosaic rejects vector<0xSxL> types at lowering ("vector types
+    must have positive constant sizes"), even though the plain-jnp twin
+    tolerates 0-sized arrays — which is why only the real-chip reach path
+    ever hit this."""
+    if cfg.num_objects:
+        return STATE_KEYS
+    return tuple(k for k in STATE_KEYS if not k.startswith("obj_"))
+
+
 def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                       scene: Scene, solve_iters: int = 8):
     dt = float(cfg.dt)
@@ -1015,7 +1027,7 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
 
         # ---- scene free-update (physics_substep:289-305)
         g_c = cvec(np.array([0, 0, -9.8], f32), q[0])[None]   # (1,3,S,L)
-        obj_vel = st["obj_vel"] + dt * g_c if n_obj else st["obj_vel"]
+        obj_vel = st["obj_vel"] + dt * g_c if n_obj else None
         m_eff = scene.art_mass.astype(np.float64)
         g_axis = (scene.art_axis.astype(np.float64)
                   @ np.array([0, 0, -9.8]))                 # (4,) const
@@ -1040,7 +1052,8 @@ def make_lane_substep(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
         pads2 = lane_pad_kinematics(tree, arm, kin2)
         st2 = dict(st)
         st2["art_qd"] = art_qd
-        st2["obj_vel"] = obj_vel      # post-gravity: the solve's initial ov
+        if n_obj:
+            st2["obj_vel"] = obj_vel  # post-gravity: the solve's initial ov
         bundles, aux = gather_bundles(cfg, tree, arm, scene, st2, kin2,
                                       qd_arm, *pads2)
 
@@ -1133,15 +1146,17 @@ def make_lane_sim(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
                 st, lam = sub(st, ctrl_q, grip, lam)
             return st
 
+        keys = state_keys(cfg)
+
         def body(i, carry):
             d, lam = carry
-            d = dict(zip(STATE_KEYS, d))
+            d = dict(zip(keys, d))
             d, lam = sub(d, ctrl_q, grip, lam)
-            return (tuple(d[k] for k in STATE_KEYS), lam)
+            return (tuple(d[k] for k in keys), lam)
 
-        carry = (tuple(st[k] for k in STATE_KEYS), _lam0(st, ctrl_q, grip))
+        carry = (tuple(st[k] for k in keys), _lam0(st, ctrl_q, grip))
         carry = jax.lax.fori_loop(0, n, body, carry)
-        return dict(zip(STATE_KEYS, carry[0]))
+        return dict(zip(keys, carry[0]))
 
     return sim
 
@@ -1199,13 +1214,13 @@ def _lanes_from_block(cfg, tree, Xb):
     st = {}
     idx = 0
     for name, r in rows:
+        if r == 0:          # 0-object envs: never slice a 0-row vector
+            continue        # (Mosaic rejects vector<0xSxL>, see state_keys)
         sl = Xb[idx:idx + r]
         idx += r
-        if name.startswith("obj_") and no:
+        if name.startswith("obj_"):
             k = 4 if name == "obj_quat" else 3
             st[name] = sl.reshape(no, k, *Xb.shape[1:])
-        elif name.startswith("obj_"):
-            st[name] = sl.reshape(0, 3, *Xb.shape[1:])
         else:
             st[name] = sl
     return st
@@ -1215,6 +1230,8 @@ def _block_from_lanes(cfg, tree, st):
     rows, _ = _field_rows(cfg, tree)
     parts = []
     for name, r in rows:
+        if r == 0:
+            continue        # 0-object envs carry no object fields
         v = st[name]
         if name.startswith("obj_"):
             parts.append(v.reshape(-1, *v.shape[-2:]))
@@ -1659,22 +1676,24 @@ def make_pallas_rollout(cfg: EnvConfig, tree: KineTree, arm: ArmConfig,
             parts.append(ee_pos)
         return jnp.concatenate(parts, axis=0)
 
+    keys = state_keys(cfg)
+
     def kernel(x_ref, a_ref, y_ref, ag_ref):
         Xb = x_ref[:]                                  # (NF, S, L)
         st = _lanes_from_block(cfg, tree, Xb)
 
         def body(h, carry):
-            d = dict(zip(STATE_KEYS, carry))
+            d = dict(zip(keys, carry))
             a_h = a_ref[h]                             # (A, S, L)
             ctrl, grip = control(d["q"], a_h)
             d = sim(d, ctrl, grip)
             ag_ref[h] = ag_of(_block_from_lanes(cfg, tree, d))
-            return tuple(d[k] for k in STATE_KEYS)
+            return tuple(d[k] for k in keys)
 
-        carry = tuple(st[k] for k in STATE_KEYS)
+        carry = tuple(st[k] for k in keys)
         carry = jax.lax.fori_loop(0, horizon, body, carry)
         y_ref[:] = _block_from_lanes(cfg, tree,
-                                     dict(zip(STATE_KEYS, carry)))
+                                     dict(zip(keys, carry)))
 
     # Bound each pallas_call to max_grid blocks: H×substeps×grid physics
     # in one invocation runs long, and the tunneled dev chip faults once
