@@ -1,0 +1,65 @@
+"""Pin floors under the committed MPC task-competence artifact (EVAL.json).
+
+EVAL.json is produced by `python tools/eval_mpc.py` on the real TPU chip:
+the fused receding-horizon MPPI planner (solver/eval.py) run against each
+playroom goal family, success per the reference's all-or-nothing play
+criterion (playRewardFunc.py:16-77). This test makes the artifact a
+regression contract: any physics / solver / cost change that drops a
+family below its floor must re-run the eval and justify the new numbers.
+
+The floors are deliberately below the measured rates (EVAL.md) so tunnel
+variance and seed sensitivity don't flake the suite; they are far above
+what an unplanned (random-action) policy achieves (~0 for every family
+except button, see EVAL.md baseline column).
+"""
+import json
+import os
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+PATH = os.path.join(ROOT, "EVAL.json")
+
+# family -> minimum success rate (fraction of episodes solved at any step).
+# Measured rates (EVAL.md, real chip, seed 0): reach 0.88, block 0.75,
+# drawer/door/button 1.00, dial 0.88; floors sit ~half that.
+FLOORS = {
+    "reach": 0.60,
+    "block": 0.375,
+    "drawer": 0.60,
+    "door": 0.60,
+    "button": 0.60,
+    "dial": 0.60,
+}
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    if not os.path.exists(PATH):
+        pytest.skip("EVAL.json missing: run `python tools/eval_mpc.py` on "
+                    "the TPU chip and commit the artifact")
+    with open(PATH) as f:
+        return json.load(f)
+
+
+def test_eval_artifact_provenance(artifact):
+    """The committed artifact must be the real thing: fused Pallas planner
+    on a TPU backend, the flagship env, a non-trivial episode count."""
+    meta = artifact["meta"]
+    assert meta["backend"] == "pallas", meta
+    assert meta["platform"] != "cpu", meta
+    assert meta["env"] == "UR5PlayAbsRPY1Obj-v0", meta
+    assert meta["mpc"]["pop"] >= 1024, meta
+    assert meta["n_episodes"] >= 8, meta
+
+
+@pytest.mark.parametrize("family", sorted(FLOORS))
+def test_eval_success_floor(artifact, family):
+    fams = artifact["families"]
+    assert family in fams, f"{family} missing from EVAL.json"
+    rec = fams[family]
+    assert rec["n_episodes"] >= 8, rec
+    assert rec["success_rate"] >= FLOORS[family], (
+        f"{family}: {rec['success_rate']:.2f} < floor {FLOORS[family]}")
