@@ -64,9 +64,21 @@ def test_fused_sim_matches_pick():
     _compare_sim(m, states, atol=1e-4)
 
 
-def test_fused_control_matches():
-    """Lane control (decode + IK) vs envs/core.control on the play env."""
-    m, states = _setup("pandaPlayAbsRPY1Obj-v0")
+@pytest.mark.parametrize("env_id", [
+    # one env per action decode mode (environments.py:936-1007), arms
+    # alternated so both IK budgets (Panda 16 / UR5 24 iters) are hit;
+    # relative_quat pins the componentwise quat-add quirk
+    # (environments.py:951 ↔ envs/core.py:101 ↔ fused_step.py lane twin)
+    "pandaPlayAbsRPY1Obj-v0",     # absolute_rpy
+    "UR5PlayRelRPY1Obj-v0",       # relative_rpy
+    "pandaPlay1Obj-v0",           # absolute_quat
+    "UR5PlayRel1Obj-v0",          # relative_quat
+    "pandaPlayRelJoints1Obj-v0",  # relative_joints
+    "UR5PlayAbsJoints1Obj-v0",    # absolute_joints
+])
+def test_fused_control_matches(env_id):
+    """Lane control (decode + IK) vs envs/core.control, all 6 modes."""
+    m, states = _setup(env_id)
     acts = jax.random.uniform(jax.random.PRNGKey(3),
                               (B, m.cfg.action_dim), jnp.float32, -0.5, 0.5)
     high = jnp.asarray(m.cfg.action_high, jnp.float32)

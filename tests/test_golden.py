@@ -20,10 +20,26 @@ import pytest
 
 from roboticsplayroompybullet_tpu.envs import wrapper
 
-pytestmark = pytest.mark.smoke
-
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-ENVS = ["UR5Reach-v0", "pandaPick-v0", "UR5PlayAbsRPY1Obj-v0"]
+# smoke tier: one env per arm family + the flagship play env. The full
+# tier adds one panda + one UR5 golden per remaining action decode mode
+# (environments.py:936-1007), incl. the componentwise quat-add quirk of
+# relative_quat (environments.py:951 ↔ envs/core.py:101).
+ENVS = [
+    pytest.param("UR5Reach-v0", marks=pytest.mark.smoke),
+    pytest.param("pandaPick-v0", marks=pytest.mark.smoke),
+    pytest.param("UR5PlayAbsRPY1Obj-v0", marks=pytest.mark.smoke),
+    "pandaPlay1Obj-v0",          # absolute_quat
+    "UR5Play1Obj-v0",
+    "pandaPlayRel1Obj-v0",       # relative_quat
+    "UR5PlayRel1Obj-v0",
+    "pandaPlayRelRPY1Obj-v0",    # relative_rpy
+    "UR5PlayRelRPY1Obj-v0",
+    "pandaPlayRelJoints1Obj-v0", # relative_joints
+    "UR5PlayRelJoints1Obj-v0",
+    "pandaPlayAbsJoints1Obj-v0", # absolute_joints
+    "UR5PlayAbsJoints1Obj-v0",
+]
 
 
 def _golden(env_id):

@@ -32,6 +32,21 @@ ENVS = {
     "UR5Reach-v0": (25, 0.25),
     "pandaPick-v0": (25, 0.25),
     "UR5PlayAbsRPY1Obj-v0": (25, 0.25),
+    # one panda + one UR5 golden per remaining action mode, so every
+    # decode path (envs/core.py:84-122 mirroring environments.py:936-1007)
+    # is pinned: absolute_quat, relative_quat (componentwise quat-add
+    # quirk, environments.py:951), relative_rpy, relative_joints,
+    # absolute_joints.
+    "pandaPlay1Obj-v0": (25, 0.25),          # absolute_quat
+    "UR5Play1Obj-v0": (25, 0.25),            # absolute_quat
+    "pandaPlayRel1Obj-v0": (25, 0.25),       # relative_quat
+    "UR5PlayRel1Obj-v0": (25, 0.25),         # relative_quat
+    "pandaPlayRelRPY1Obj-v0": (25, 0.25),    # relative_rpy
+    "UR5PlayRelRPY1Obj-v0": (25, 0.25),      # relative_rpy
+    "pandaPlayRelJoints1Obj-v0": (25, 0.25), # relative_joints
+    "UR5PlayRelJoints1Obj-v0": (25, 0.25),   # relative_joints
+    "pandaPlayAbsJoints1Obj-v0": (25, 0.25), # absolute_joints
+    "UR5PlayAbsJoints1Obj-v0": (25, 0.25),   # absolute_joints
 }
 
 
@@ -57,7 +72,10 @@ def rollout(env_id: str, steps: int, scale: float):
 
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    only = set(sys.argv[1:])            # no args = regenerate everything
     for env_id, (steps, scale) in ENVS.items():
+        if only and env_id not in only:
+            continue
         data = rollout(env_id, steps, scale)
         path = os.path.join(GOLDEN_DIR, env_id.replace("-", "_") + ".npz")
         with open(path, "wb") as f:
