@@ -1,8 +1,16 @@
-"""Full equivalence sweep: fused lane physics vs the vmap oracle.
+"""Full-fidelity equivalence sweep: fused lane physics vs the vmap oracle.
+
+Runs the FULL parity configuration (12 substeps at 300 Hz, 8 warm-started
+contact iterations — exactly what env.step executes) on both twins and
+prints a per-field max/mean divergence table, markdown-ready for
+FIDELITY.md. CI runs the same comparison at reduced substeps
+(tests/test_fused.py); this is the committed proof that the reduction
+hides nothing.
 
 Slow (CPU compiles of the full playroom); run on demand:
-    python tools/check_fused.py UR5PlayAbsRPY1Obj-v0
-Expected: max diffs at float-rounding level (<1e-5) on every state field.
+    python tools/check_fused.py                      # default 3-env sweep
+    python tools/check_fused.py UR5PlayAbsRPY1Obj-v0 [more ids...]
+Expected: max diffs at float-rounding level (<1e-4) on every state field.
 """
 import os
 import sys
@@ -13,6 +21,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from roboticsplayroompybullet_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.setup(jax)
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -21,10 +33,16 @@ from roboticsplayroompybullet_tpu.envs import core, physics  # noqa: E402
 from roboticsplayroompybullet_tpu.ops import fused_step as fs  # noqa: E402
 from roboticsplayroompybullet_tpu.parallel import rollout as R  # noqa: E402
 
+# both arms + the 2-object play scene: every contact-row family
+# (pad/block/articulation/block-block) and both gripper models
+DEFAULT_ENVS = ["UR5PlayAbsRPY1Obj-v0", "pandaPlayAbsRPY1Obj-v0",
+                "pandaPlay-v0"]
 
-def main():
-    env_id = sys.argv[1] if len(sys.argv) > 1 else "UR5PlayAbsRPY1Obj-v0"
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+FIELDS = ["q", "qd", "obj_pos", "obj_quat", "obj_vel", "obj_angvel",
+          "art_q", "art_qd"]
+
+
+def check_env(env_id: str, B: int = 256) -> float:
     m = core.build_model(CATALOG[env_id])
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     states, _ = jax.jit(lambda k: R.batched_reset(m, k))(keys)
@@ -42,16 +60,30 @@ def main():
     lane = fs.unpack_state(m.cfg, m.tree, X2, states)
 
     worst = 0.0
-    for f in ["q", "qd", "obj_pos", "obj_quat", "obj_vel", "obj_angvel",
-              "art_q", "art_qd"]:
+    print(f"\n## {env_id}  (B={B}, substeps={m.cfg.substeps}, "
+          f"solve 8 warm-started)")
+    print("| field | max | mean |\n|---|---|---|")
+    for f in FIELDS:
         a = np.asarray(getattr(ref, f))
         b = np.asarray(getattr(lane, f))
         if a.size == 0:
             continue
         d = np.abs(a - b)
         worst = max(worst, float(d.max()))
-        print(f"{f:12s} max {d.max():.3e} mean {d.mean():.3e}")
-    print("PASS" if worst < 1e-4 else "FAIL", f"(worst {worst:.3e})")
+        print(f"| {f} | {d.max():.1e} | {d.mean():.1e} |")
+    print(f"{env_id}: {'PASS' if worst < 1e-4 else 'FAIL'} "
+          f"(worst {worst:.3e})", flush=True)
+    return worst
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.isdigit()]
+    bs = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    B = bs[0] if bs else 256
+    envs = args or DEFAULT_ENVS
+    worst = max(check_env(e, B) for e in envs)
+    print(f"\nSWEEP {'PASS' if worst < 1e-4 else 'FAIL'} "
+          f"(worst {worst:.3e})")
     sys.exit(0 if worst < 1e-4 else 1)
 
 
