@@ -57,7 +57,14 @@ def sample_lfp_batch(reader, rng: np.random.Generator, batch: int,
                      ) -> Dict[str, np.ndarray]:
     """Draw aligned windows of (obs, act, ag) from an EpisodeReader and
     relabel. Uses one episode/offset draw per window so the three fields
-    stay aligned."""
+    stay aligned.
+
+    Alignment: the collector (tools/collect_play.py) logs the observation
+    AFTER each action executes — row t is (obs_t, a_t) where obs_t is
+    a_t's RESULT. A policy must map the obs it sees to the action taken
+    FROM it, so the action window is shifted one step forward: obs_t is
+    paired with a_{t+1} (training P(a|obs_before, goal), not inverse
+    dynamics)."""
     f_obs, f_act, f_ag = fields
     di = {k: reader.dims[reader.names.index(k)] for k in fields}
     obs_w = np.empty((batch, window, di[f_obs]), np.float32)
@@ -66,16 +73,19 @@ def sample_lfp_batch(reader, rng: np.random.Generator, batch: int,
     for b in range(batch):
         ep = int(rng.integers(reader.n_episodes))
         T = reader.episode_len(ep)
-        t0 = int(rng.integers(max(T - window + 1, 1)))
+        # leave one row after the window so the shifted action exists
+        t0 = int(rng.integers(max(T - window, 1)))
 
-        def win(field):
-            arr = reader.read(ep, field)[t0:t0 + window]
+        def win(field, shift=0):
+            arr = reader.read(ep, field)[t0 + shift:t0 + shift + window]
             if arr.shape[0] < window:
                 arr = np.concatenate(
                     [arr] + [arr[-1:]] * (window - arr.shape[0]))
             return arr
 
-        obs_w[b], act_w[b], ag_w[b] = win(f_obs), win(f_act), win(f_ag)
+        obs_w[b] = win(f_obs)
+        act_w[b] = win(f_act, shift=1)
+        ag_w[b] = win(f_ag)
     return relabel_windows(obs_w, act_w, ag_w)
 
 

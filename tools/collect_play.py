@@ -26,6 +26,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _write_fields_sidecar(out_path: str, fields):
+    """<out>.fields.json: the field-name order of the log (the native
+    format stores dims only); tools/train_lfp.py and tools/eval_lfp.py
+    load it instead of trusting a hand-typed --schema."""
+    import json
+    with open(out_path + ".fields.json", "w") as f:
+        json.dump(list(fields), f)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="UR5PlayAbsRPY1Obj-v0")
@@ -95,8 +104,13 @@ def main():
         print(f"collected {B} x {T} steps in {dt:.1f}s "
               f"= {B * T / dt:.0f} env-steps/s", flush=True)
 
-        fields = {k: obs[k].shape[-1] for k in obs}
+        # EXPLICIT canonical order: jax returns pytree dicts with SORTED
+        # keys, so iterating `obs` here would silently write fields in
+        # alphabetical order and break every reader that assumes the
+        # documented schema (the native log stores dims, not names)
+        fields = {k: int(obs[k].shape[-1]) for k in PUBLIC}
         fields["action"] = A
+        _write_fields_sidecar(args.out, fields)
         with EpisodeWriter(args.out, fields) as w:
             for b in range(B):
                 w.begin_episode()
@@ -116,6 +130,7 @@ def main():
                   for k in ("obs_quat", "achieved_goal", "desired_goal",
                             "full_positional_state")}
         fields["action"] = A
+        _write_fields_sidecar(args.out, fields)
         pl = sol.init_plan(m, cfg)
         with EpisodeWriter(args.out, fields) as w:
             w.begin_episode()

@@ -1,0 +1,149 @@
+"""Closed-loop evaluation of a trained LfP policy vs a random baseline.
+
+Completes the learning-from-play capability chain (the reference's whole
+purpose, reference README.md:2-10): collect play (tools/collect_play.py)
+→ train goal-conditioned BC (tools/train_lfp.py) → THIS: hindsight window
+goals replayed closed-loop in the simulator.
+
+Protocol (pure hindsight, no state injection): reset N fresh envs; from
+each start state roll the SAME smooth AR(1) random play process the data
+was collected with for W steps and take the final `full_positional_state`
+as the goal — reachable from the start by construction, exactly the
+window-relabel target the policy was trained on. Then, from the SAME
+start states (the immutable EnvState pytree IS the checkpoint —
+utils/checkpoint.py would round-trip it exactly, unlike the reference's
+obs-vector injection whose index-11 object quirk and missing articulation
+state cannot restore a play scene, environments.py:519-556), roll (a) the
+policy conditioned on those goals and (b) an INDEPENDENT random rollout,
+and compare final goal distances.
+
+Goal space: `full_positional_state` (arm pos+orn+grip ⊕ 11-D play
+achieved goal) — the same vector kind the reference's sub-goal machinery
+consumes (environments.py:606-703 'full_positional_state'), and a space
+in which goal-reaching is densely learnable from play (the arm-pose block
+gives BC a signal on every window, not only contact-event windows).
+
+    python tools/eval_lfp.py --params /tmp/lfp_policy.npz --episodes 128
+
+Writes LFP_EVAL.json (consumed by tests/test_lfp_artifact.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from roboticsplayroompybullet_tpu.utils import jaxcache  # noqa: E402
+
+import jax  # noqa: E402
+
+jaxcache.setup(jax)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--env", default="UR5PlayAbsRPY1Obj-v0")
+    ap.add_argument("--params", default="/tmp/lfp_policy.npz")
+    ap.add_argument("--episodes", type=int, default=128)
+    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[256, 256],
+                    help="must match the trained policy's architecture")
+    ap.add_argument("--obs-field", default="obs_quat")
+    ap.add_argument("--goal-field", default="full_positional_state")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+    from roboticsplayroompybullet_tpu.envs import core
+    from roboticsplayroompybullet_tpu.learn import lfp
+    from roboticsplayroompybullet_tpu.parallel.rollout import batched_reset
+    from roboticsplayroompybullet_tpu.utils.checkpoint import load_pytree
+
+    m = core.build_model(CATALOG[args.env])
+    N, W = args.episodes, args.window
+    A = m.cfg.action_dim
+    high = jnp.asarray(m.cfg.action_high, jnp.float32)
+
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), N)
+    states0, obs0 = jax.jit(lambda k: batched_reset(m, k))(keys)
+    obs_dim = obs0[args.obs_field].shape[-1]
+    goal_dim = obs0[args.goal_field].shape[-1]
+
+    policy, params0, _, _ = lfp.init_training(
+        jax.random.PRNGKey(0), obs_dim=obs_dim, goal_dim=goal_dim,
+        action_dim=A, action_high=list(m.cfg.action_high),
+        hidden=tuple(args.hidden))   # must match tools/train_lfp.py
+    params = load_pytree(args.params, params0)
+
+    def run(policy_mode: bool, goals, seed: int):
+        """Roll W steps from states0; returns per-step goal-field values
+        (W, N, goal_dim). policy_mode=False: the collector's AR(1) play
+        process (tools/collect_play.py)."""
+        def body(carry, k):
+            st, obs, tail = carry
+            if policy_mode:
+                acts = policy.apply(params, obs[args.obs_field], goals)
+            else:
+                eps = jax.random.normal(k, (N, A))
+                tail = 0.85 * tail + 0.35 * eps
+                acts = jnp.clip(tail, -high, high)
+            st, obs, _, _ = jax.vmap(lambda s, a: core.step(m, s, a))(st,
+                                                                      acts)
+            return (st, obs, tail), obs[args.goal_field]
+
+        ks = jax.random.split(jax.random.PRNGKey(seed), W)
+        _, gs = jax.lax.scan(body, (states0, obs0, jnp.zeros((N, A))), ks)
+        return gs
+
+    run_j = jax.jit(run, static_argnums=(0, 2))
+
+    # hindsight goals: final full_positional_state of a random play window
+    goals = run_j(False, jnp.zeros((N, goal_dim)), args.seed + 1)[-1]
+
+    def score(gs):
+        d = np.linalg.norm(np.asarray(gs) - np.asarray(goals)[None],
+                           axis=-1)                       # (W, N)
+        ee = np.linalg.norm(np.asarray(gs)[..., 0:3]
+                            - np.asarray(goals)[None, :, 0:3], axis=-1)
+        return {
+            "final_dist_mean": float(d[-1].mean()),
+            "final_dist_median": float(np.median(d[-1])),
+            "best_dist_mean": float(d.min(axis=0).mean()),
+            "final_ee_dist_mean_m": float(ee[-1].mean()),
+        }
+
+    res_pol = score(run_j(True, jnp.asarray(goals), args.seed + 2))
+    # independent random rollout (NOT the goal-generating one)
+    res_rnd = score(run_j(False, jnp.zeros((N, goal_dim)), args.seed + 3))
+    ratio = res_pol["final_dist_mean"] / max(res_rnd["final_dist_mean"],
+                                             1e-9)
+    out = {
+        "meta": {"env": args.env, "episodes": N, "window": W,
+                 "hidden": args.hidden, "seed": args.seed,
+                 "obs_field": args.obs_field, "goal_field": args.goal_field,
+                 "platform": jax.default_backend()},
+        "policy": res_pol,
+        "random": res_rnd,
+        "final_dist_ratio_policy_over_random": round(ratio, 4),
+    }
+    path = args.out or os.path.join(os.path.dirname(__file__), "..",
+                                    "LFP_EVAL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    print(f"wrote {os.path.abspath(path)}")
+
+
+if __name__ == "__main__":
+    main()

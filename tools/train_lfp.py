@@ -24,6 +24,9 @@ import jax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default="/tmp/play.elog")
+    ap.add_argument("--env", default="UR5PlayAbsRPY1Obj-v0",
+                    help="catalog id whose action box squashes the policy "
+                         "output (must match the collected data)")
     ap.add_argument("--fields", nargs=3,
                     default=["obs_quat", "action", "achieved_goal"],
                     metavar=("OBS", "ACT", "AG"))
@@ -42,20 +45,33 @@ def main():
     ap.add_argument("--out", default="/tmp/lfp_policy.npz")
     args = ap.parse_args()
 
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
     from roboticsplayroompybullet_tpu.utils.episodelog import EpisodeReader
     from roboticsplayroompybullet_tpu.utils.checkpoint import save_pytree
     from roboticsplayroompybullet_tpu.learn import lfp
 
-    reader = EpisodeReader(args.log, fields=args.schema)
+    schema = args.schema
+    sidecar = args.log + ".fields.json"
+    if os.path.exists(sidecar):            # written by tools/collect_play.py
+        import json
+        with open(sidecar) as f:
+            schema = json.load(f)
+        print(f"schema from {sidecar}: {schema}")
+    reader = EpisodeReader(args.log, fields=schema)
     assert len(reader.names) == len(reader.dims), \
         f"--schema names {len(reader.names)} != file fields {len(reader.dims)}"
     f_obs, f_act, f_ag = args.fields
     d = {k: reader.dims[reader.names.index(k)] for k in args.fields}
     print(f"log: {reader.n_episodes} episodes, dims {d}")
 
+    # squash to the env's true action box (e.g. abs-RPY pose dims are ±6,
+    # environments.py:88-117) — a unit box cannot express the data
+    high = list(CATALOG[args.env].action_high) if args.env in CATALOG \
+        else [1.0] * d[f_act]
+    assert len(high) == d[f_act], (args.env, high, d)
     policy, params, tx, opt_state = lfp.init_training(
         jax.random.PRNGKey(args.seed), obs_dim=d[f_obs], goal_dim=d[f_ag],
-        action_dim=d[f_act], action_high=[1.0] * d[f_act],
+        action_dim=d[f_act], action_high=high,
         lr=args.lr, hidden=tuple(args.hidden))
     step = jax.jit(lfp.make_train_step(policy, tx))
 
