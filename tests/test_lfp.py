@@ -13,15 +13,20 @@ FIELDS = {"obs_quat": 6, "action": 2, "achieved_goal": 3}
 
 
 def _make_log(path, n_eps=4, T=30, seed=0):
+    """Synthetic log with the COLLECTOR's row semantics
+    (tools/collect_play.py): row t is (obs_t, a_t) where obs_t is the
+    state AFTER a_t executed — so the action a demonstrator took FROM
+    obs_{t-1} is a_t, i.e. the learnable relation sits across rows:
+    act[t] = f(obs[t-1], ag[t-1])."""
     rng = np.random.default_rng(seed)
     with EpisodeWriter(path, FIELDS) as w:
         for _ in range(n_eps):
             w.begin_episode()
-            # learnable structure: action = f(obs, future ag)
             obs = rng.normal(size=(T, 6)).astype(np.float32)
             ag = np.cumsum(rng.normal(size=(T, 3)) * 0.1,
                            axis=0).astype(np.float32)
-            act = (obs[:, :2] * 0.5 + ag[:, :2]).astype(np.float32)
+            act = np.zeros((T, 2), np.float32)
+            act[1:] = obs[:-1, :2] * 0.5 + ag[:-1, :2]
             w.append_batch({"obs_quat": obs, "action": act,
                             "achieved_goal": ag})
             w.end_episode()
@@ -51,9 +56,11 @@ def test_sample_lfp_batch_aligned(tmp_path):
     assert batch["obs"].shape == (48, 6)
     assert batch["act"].shape == (48, 2)
     assert batch["goal"].shape == (48, 3)
-    # alignment: act == obs[:, :2]*0.5 + ag[:, :2] held per STEP, and ag
-    # is recoverable only if windows were drawn from one (ep, t0) — check
-    # the relation using the goal of the final step of each window
+    # alignment: the sampler pairs obs row t with action row t+1 (the
+    # action taken FROM that obs, see sample_lfp_batch docstring). At the
+    # window's final step the relabelled goal IS that row's ag, so
+    # act_w[-1] = obs_w[-1]*0.5 + goal — holds only if windows are drawn
+    # from one (ep, t0) AND the one-row action shift is applied.
     a_last = batch["act"].reshape(8, 6, 2)[:, -1]
     o_last = batch["obs"].reshape(8, 6, 2 * 3)[:, -1][:, :2]
     g = batch["goal"].reshape(8, 6, 3)[:, -1][:, :2]
