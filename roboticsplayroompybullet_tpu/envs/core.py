@@ -189,9 +189,49 @@ def _reset_arm(m: EnvModel, state: EnvState, rng,
                          ctrl_q=q[:arm.n_arm])
 
 
+def _objects_oob(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
+    """Any real object coordinate past env_upper_bound
+    (environments.py:536-538 — the reference checks only the UPPER bound)."""
+    hi = jnp.asarray(cfg.env_range_high, jnp.float32)
+    return jnp.any(state.obj_pos[:cfg.num_objects] > hi)
+
+
+def _place_and_settle(m: EnvModel, state: EnvState, rng) -> EnvState:
+    """One random placement + 100-substep settle
+    (environments.py:528-535)."""
+    cfg = m.cfg
+    keys = jax.random.split(rng, cfg.num_objects)
+    poses = []
+    for i in range(cfg.num_objects):
+        p = jax.random.uniform(keys[i], (3,), jnp.float32,
+                               jnp.asarray(cfg.obj_lower_bound),
+                               jnp.asarray(cfg.obj_upper_bound))
+        p = p.at[2].add(0.03 * (i + 1))   # stagger heights
+        poses.append(p)
+    obj_pos = jnp.stack(poses)
+    n_obj = state.obj_pos.shape[0]
+    obj_pos = jnp.concatenate(
+        [obj_pos, state.obj_pos[cfg.num_objects:]], axis=0) \
+        if n_obj > cfg.num_objects else obj_pos
+    quat = jnp.tile(jnp.array([0.0, 0.0, 0.7071, 0.7071], jnp.float32),
+                    (state.obj_quat.shape[0], 1))
+    state = state.replace(obj_pos=obj_pos, obj_quat=quat,
+                          obj_vel=jnp.zeros_like(state.obj_vel),
+                          obj_angvel=jnp.zeros_like(state.obj_angvel))
+    # settle: 100 substeps (environments.py:534-535)
+    return physics.run_simulation(cfg, m.tree, m.arm, m.scene, state,
+                                  n_substeps=100)
+
+
 def _reset_objects(m: EnvModel, state: EnvState, rng,
                    o: Optional[jnp.ndarray]) -> EnvState:
-    """reset_object_pos (environments.py:519-556)."""
+    """reset_object_pos (environments.py:519-556), including the
+    out-of-bounds RE-PLACE loop (environments.py:536-539): after the
+    settle, any object coordinate past env_upper_bound triggers a full
+    re-place of every object. The reference recurses unboundedly; under
+    jit this is a lax.while_loop capped at 20 attempts (the last draw is
+    kept after that — with catalog obj bounds inside env bounds, 20
+    consecutive settle-out-of-bounds events is negligible)."""
     cfg = m.cfg
     # play: articulated objects to defaults (environments.py:521-525)
     state = state.replace(art_q=jnp.zeros(4, jnp.float32),
@@ -199,27 +239,21 @@ def _reset_objects(m: EnvModel, state: EnvState, rng,
     if cfg.num_objects == 0:
         return state
     if o is None:
-        keys = jax.random.split(rng, cfg.num_objects)
-        poses = []
-        for i in range(cfg.num_objects):
-            p = jax.random.uniform(keys[i], (3,), jnp.float32,
-                                   jnp.asarray(cfg.obj_lower_bound),
-                                   jnp.asarray(cfg.obj_upper_bound))
-            p = p.at[2].add(0.03 * (i + 1))   # stagger heights
-            poses.append(p)
-        obj_pos = jnp.stack(poses)
-        n_obj = state.obj_pos.shape[0]
-        obj_pos = jnp.concatenate(
-            [obj_pos, state.obj_pos[cfg.num_objects:]], axis=0) \
-            if n_obj > cfg.num_objects else obj_pos
-        quat = jnp.tile(jnp.array([0.0, 0.0, 0.7071, 0.7071], jnp.float32),
-                        (state.obj_quat.shape[0], 1))
-        state = state.replace(obj_pos=obj_pos, obj_quat=quat,
-                              obj_vel=jnp.zeros_like(state.obj_vel),
-                              obj_angvel=jnp.zeros_like(state.obj_angvel))
-        # settle: 100 substeps (environments.py:534-535)
-        state = physics.run_simulation(cfg, m.tree, m.arm, m.scene, state,
-                                       n_substeps=100)
+        # attempt 0 consumes `rng` exactly as a single placement would, so
+        # trajectories from resets that never trigger the loop are
+        # unchanged; retries fold the attempt index into `rng`.
+        state = _place_and_settle(m, state, rng)
+
+        def cond(carry):
+            st, i = carry
+            return _objects_oob(cfg, st) & (i < 20)
+
+        def body(carry):
+            st, i = carry
+            st = _place_and_settle(m, st, jax.random.fold_in(rng, i))
+            return st, i + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(1)))
         return state
     # state injection: layout quirk preserved (environments.py:542-556)
     if cfg.use_orientation:

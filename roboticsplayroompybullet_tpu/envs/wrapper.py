@@ -24,29 +24,60 @@ from .state import EnvState
 
 
 def _observation_spaces(cfg: EnvConfig):
-    """Dict obs space mirroring environments.py:120-166 bounds."""
-    lo, hi = np.array(cfg.env_range_low), np.array(cfg.env_range_high)
-    glo = np.concatenate([np.array(cfg.goal_range_low)] * cfg.num_goals) \
-        if not cfg.play else np.full(cfg.goal_dim, -np.inf)
-    ghi = np.concatenate([np.array(cfg.goal_range_high)] * cfg.num_goals) \
-        if not cfg.play else np.full(cfg.goal_dim, np.inf)
-    arm_low = np.concatenate([lo, [0.0]]) if not cfg.use_orientation \
-        else np.concatenate([lo, -np.ones(4), [0.0]])
-    arm_high = np.concatenate([hi, [0.04]]) if not cfg.use_orientation \
-        else np.concatenate([hi, np.ones(4), [0.04]])
+    """Dict obs space mirroring environments.py:120-166 bound tables
+    EXACTLY, quirks included:
+
+      * `arm_lower_obs_lim` concatenates **env_upper_bound** (not lower)
+        with the negated tail in BOTH orientation branches
+        (environments.py:135,144) — a reference bug replicated for parity:
+        the published lower observation bound on the ee position equals
+        the upper one.
+      * goal boxes are `env_range` bounds tiled num_goals times
+        (environments.py:152-153) even for play envs, whose actual
+        desired/achieved goals are 7·n_obj+4-D — the reference publishes
+        the same mismatched 3·num_goals box; consumers that sample play
+        goal spaces get the same (wrong-shape) answer they would upstream.
+      * `observation` bounds include the quaternion slot the actual
+        observation re-encodes to Euler (environments.py:859), so the
+        published box is one element wider than the returned vector —
+        also faithful to the reference.
+    """
+    env_lo = np.asarray(cfg.env_range_low, np.float32)
+    env_hi = np.asarray(cfg.env_range_high, np.float32)
+    obj_lo = np.asarray(cfg.obj_lower_bound, np.float32)
+    obj_hi = np.asarray(cfg.obj_upper_bound, np.float32)
+    if cfg.use_orientation:
+        arm_hi = np.concatenate([env_hi, [1, 1, 1, 1, 0.04]])
+        arm_lo = np.concatenate([env_lo, [-1, -1, -1, -1, -0.0]])
+        arm_obs_hi = np.concatenate([env_hi, [1, 1, 1, 1, 1, 1, 1, 0.04]])
+        # reference bug: env_UPPER bound in the lower obs lim (:135)
+        arm_obs_lo = np.concatenate([env_hi,
+                                     [-1, -1, -1, -1, -1, -1, -1, -0.0]])
+        obj_obs_hi = np.concatenate([obj_hi, np.ones(7)])
+        obj_obs_lo = np.concatenate([obj_lo, -np.ones(7)])
+        obj_pos_hi = np.concatenate([env_hi, np.ones(4)])
+        obj_pos_lo = np.concatenate([env_lo, -np.ones(4)])
+    else:
+        arm_hi = np.concatenate([env_hi, [0.04]])
+        arm_lo = np.concatenate([env_lo, [-0.0]])
+        arm_obs_hi = np.concatenate([env_hi, [1, 1, 1, 0.04]])
+        # reference bug: env_UPPER bound in the lower obs lim (:144)
+        arm_obs_lo = np.concatenate([env_hi, [-1, -1, -1, -0.0]])
+        obj_obs_hi = np.concatenate([obj_hi, np.ones(3)])
+        obj_obs_lo = np.concatenate([obj_lo, -np.ones(3)])
+        obj_pos_hi, obj_pos_lo = env_hi, env_lo
+    obs_hi = np.concatenate([arm_obs_hi] + [obj_obs_hi] * cfg.num_objects)
+    obs_lo = np.concatenate([arm_obs_lo] + [obj_obs_lo] * cfg.num_objects)
+    goal_hi = np.concatenate([env_hi] * cfg.num_goals)
+    goal_lo = np.concatenate([env_lo] * cfg.num_goals)
+    full_hi = np.concatenate([arm_hi] + [obj_pos_hi] * cfg.num_objects)
+    full_lo = np.concatenate([arm_lo] + [obj_pos_lo] * cfg.num_objects)
     return spaces.Dict(
-        desired_goal=spaces.Box(glo, ghi),
-        achieved_goal=spaces.Box(np.full(cfg.ag_dim, -np.inf),
-                                 np.full(cfg.ag_dim, np.inf)),
-        observation=spaces.Box(np.full(cfg.obs_dim - 1, -np.inf),
-                               np.full(cfg.obs_dim - 1, np.inf)),
-        controllable_achieved_goal=spaces.Box(arm_low[:4] * 0 - np.inf,
-                                              arm_high[:4] * 0 + np.inf),
-        full_positional_state=spaces.Box(
-            np.full(len(arm_low) + cfg.ag_dim if cfg.num_objects else
-                    len(arm_low), -np.inf),
-            np.full(len(arm_low) + cfg.ag_dim if cfg.num_objects else
-                    len(arm_low), np.inf)),
+        desired_goal=spaces.Box(goal_lo, goal_hi),
+        achieved_goal=spaces.Box(goal_lo, goal_hi),
+        observation=spaces.Box(obs_lo, obs_hi),
+        controllable_achieved_goal=spaces.Box(arm_lo, arm_hi),
+        full_positional_state=spaces.Box(full_lo, full_hi),
     )
 
 

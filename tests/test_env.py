@@ -137,6 +137,35 @@ def test_state_injection_roundtrip(play):
                                o[0:3], atol=0.02)
 
 
+def test_reset_replaces_out_of_bounds_objects():
+    """The reset re-place loop (environments.py:536-539): after the
+    100-substep settle, any object coordinate past env_upper_bound triggers
+    a full re-place. Shrinks env_range_high.x to 0 while the object draw
+    spans x∈(-0.1, 0.1), so ~half of single placements settle out of
+    bounds; the looped reset must always end in bounds."""
+    from dataclasses import replace
+    from roboticsplayroompybullet_tpu.envs import core
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+
+    cfg = replace(CATALOG["pandaPush-v0"], env_range_high=(0.0, 0.18, -0.04))
+    m = core.build_model(cfg)
+    place = jax.jit(lambda st, k: core._place_and_settle(m, st, k))
+    reset_objs = jax.jit(lambda st, k: core._reset_objects(m, st, k, None))
+    st0 = jax.jit(lambda k: core._default_state(m, k))(jax.random.PRNGKey(0))
+
+    saw_oob = False
+    for seed in range(8):
+        k = jax.random.PRNGKey(seed)
+        single = place(st0, k)
+        if bool(core._objects_oob(cfg, single)):
+            saw_oob = True
+            looped = reset_objs(st0, k)
+            assert not bool(core._objects_oob(cfg, looped)), seed
+            # the loop actually moved the object back in bounds
+            assert float(looped.obj_pos[0, 0]) <= 0.0 + 1e-6
+    assert saw_oob, "no seed in 0..7 settled out of bounds; widen the scan"
+
+
 def test_determinism(reach):
     reach.seed(123)
     obs1 = reach.reset()
