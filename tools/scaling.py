@@ -24,8 +24,14 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # XLA:CPU CHECK-aborts if all device threads don't reach a collective
+    # within 40 s — on a 1-core host heavy shard_map programs trip it
+    # (CLAUDE.md; same flags as tests/conftest.py / launch_distributed.py)
+    + " --xla_cpu_collective_timeout_seconds=3600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
 
 import jax
 
@@ -46,6 +52,8 @@ def main():
     ap.add_argument("--hosts", type=int, default=2,
                     help="emulated host count (dcn axis) when divisible")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="also write the rows as JSON here (SCALING.json)")
     args = ap.parse_args()
 
     from roboticsplayroompybullet_tpu.envs.config import CATALOG
@@ -56,6 +64,7 @@ def main():
     m = core.build_model(CATALOG[args.env])
     H, A = args.horizon, m.cfg.action_dim
     base_rate = None
+    rows = []
 
     for nd in args.devices:
         if nd > len(jax.devices()):
@@ -85,14 +94,27 @@ def main():
         rate = B / best
         if base_rate is None:
             base_rate = rate / nd
-        print(json.dumps({
+        row = {
             "devices": nd,
             "mesh": {k: v for k, v in zip(mesh.axis_names,
                                           mesh.devices.shape)},
             "batch": B,
             "rollouts_per_s": round(rate, 1),
             "efficiency": round(rate / (base_rate * nd), 3),
-        }), flush=True)
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "meta": {"env": args.env, "horizon": args.horizon,
+                         "per_device": args.per_device, "reps": args.reps,
+                         "platform": jax.default_backend(),
+                         "weak_scaling": True},
+                "rows": rows,
+            }, f, indent=1)
+        print(f"wrote {os.path.abspath(args.out)}")
 
 
 if __name__ == "__main__":
