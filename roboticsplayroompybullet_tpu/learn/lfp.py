@@ -89,6 +89,31 @@ def sample_lfp_batch(reader, rng: np.random.Generator, batch: int,
     return relabel_windows(obs_w, act_w, ag_w)
 
 
+def make_memory_sampler(reader, fields: Tuple[str, str, str] = (
+        "obs_quat", "action", "achieved_goal")):
+    """Load the whole log into RAM and return a vectorized window sampler
+    with the same (obs_t, a_{t+1}) alignment as sample_lfp_batch — the
+    per-window Python-loop reader caps training at ~10 steps/s on this
+    host, which made >2k-step runs impractical (r4's under-trained
+    policy). Requires fixed-length episodes (the batched collector's
+    output). sampler(rng, batch, window) → relabelled flat batch."""
+    f_obs, f_act, f_ag = fields
+    E = reader.n_episodes
+    arrs = {f: np.stack([reader.read(e, f) for e in range(E)])
+            for f in fields}                              # (E, T, d) each
+    T = arrs[f_obs].shape[1]
+
+    def sample(rng: np.random.Generator, batch: int, window: int):
+        eps = rng.integers(0, E, batch)
+        t0 = rng.integers(0, max(T - window - 1, 1), batch)
+        idx = t0[:, None] + np.arange(window)[None]       # (B, W)
+        return relabel_windows(arrs[f_obs][eps[:, None], idx],
+                               arrs[f_act][eps[:, None], idx + 1],
+                               arrs[f_ag][eps[:, None], idx])
+
+    return sample
+
+
 # --------------------------------------------------------------------------
 # policy + train step
 # --------------------------------------------------------------------------

@@ -67,6 +67,57 @@ def test_sample_lfp_batch_aligned(tmp_path):
     np.testing.assert_allclose(a_last, o_last * 0.5 + g, atol=1e-5)
 
 
+def test_memory_sampler_matches_reader_semantics(tmp_path):
+    """The vectorized in-RAM sampler must keep the (obs_t, a_{t+1})
+    alignment of sample_lfp_batch (same synthetic-log invariant as
+    test_sample_lfp_batch_aligned)."""
+    p = str(tmp_path / "play3.elog")
+    _make_log(p)
+    with EpisodeReader(p, fields=list(FIELDS)) as r:
+        sampler = lfp.make_memory_sampler(r, fields=tuple(FIELDS))
+    batch = sampler(np.random.default_rng(1), 8, 6)
+    assert batch["obs"].shape == (48, 6)
+    a_last = batch["act"].reshape(8, 6, 2)[:, -1]
+    o_last = batch["obs"].reshape(8, 6, 6)[:, -1][:, :2]
+    g = batch["goal"].reshape(8, 6, 3)[:, -1][:, :2]
+    np.testing.assert_allclose(a_last, o_last * 0.5 + g, atol=1e-5)
+
+
+def test_play_actor_structured_actions():
+    """The play actor's absolute-rpy actions stay inside the workspace
+    box + orientation wander bounds (learn/play_policy.py) — the property
+    the r4 raw-box AR(1) collector violated (targets saturating ±6)."""
+    import jax.numpy as jnp
+    from roboticsplayroompybullet_tpu.envs import core
+    from roboticsplayroompybullet_tpu.envs.config import CATALOG
+    from roboticsplayroompybullet_tpu.learn import play_policy
+
+    m = core.build_model(CATALOG["UR5PlayAbsRPY1Obj-v0"])
+    acfg = play_policy.default_actor_config(m)
+    a_init, a_step = play_policy.make_play_actor(m, acfg)
+
+    def roll(key):
+        st = a_init(key, 32)
+
+        def body(carry, k):
+            st, _ = carry, None
+            st2, acts = a_step(carry, k)
+            return st2, acts
+
+        _, acts = jax.lax.scan(body, st, jax.random.split(key, 50))
+        return acts                                     # (50, 32, 7)
+
+    acts = np.asarray(jax.jit(roll)(jax.random.PRNGKey(0)))
+    lo = np.asarray(acfg.box_lo) - 1e-5
+    hi = np.asarray(acfg.box_hi) + 1e-5
+    assert (acts[..., 0:3] >= lo).all() and (acts[..., 0:3] <= hi).all()
+    rpy0 = np.asarray(acfg.rpy0)
+    wander = np.abs(acts[..., 3:6] - rpy0)
+    assert wander[..., :2].max() <= acfg.rpy_clip + 1e-5
+    assert wander[..., 2].max() <= acfg.yaw_clip + 1e-5
+    assert np.abs(acts[..., 6]).max() <= 1.0 + 1e-5
+
+
 def test_bc_training_loss_decreases(tmp_path):
     pytest.importorskip("flax")
     p = str(tmp_path / "play2.elog")

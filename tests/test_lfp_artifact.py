@@ -1,20 +1,20 @@
 """Pin floors under the committed LfP capability artifact (LFP_EVAL.json).
 
 Produced by the full chain on the real chip:
-    tools/collect_play.py  (>=512 batched play episodes, random policy)
-    tools/train_lfp.py     (goal-conditioned BC over relabelled windows)
-    tools/eval_lfp.py      (closed-loop window-goal replay vs random)
+    tools/collect_play.py  (>=1024 batched play episodes, the structured
+                            play actor — learn/play_policy.py)
+    tools/train_lfp.py     (goal-conditioned BC over relabelled windows,
+                            in-RAM vectorized sampler)
+    tools/eval_lfp.py      (closed-loop window-goal replay vs the same
+                            play process)
 
-The contract: the trained policy's mean final achieved-goal distance to
-the hindsight window goal must be meaningfully below the random-action
-baseline rolled from the SAME injected start states and goals. This is
-the capability claim of the learn/ stack (the reference exists to feed
-learning_from_play, reference README.md:2-10) — loss-goes-down alone
-(tests/test_lfp.py) does not show the policy learned anything usable.
-
-The floor (ratio <= 0.85) is generous vs the measured value in EVAL.md so
-seed/tunnel variance doesn't flake it; a policy no better than random
-scores ~1.0.
+The contract (VERDICT r4 item 5): window-goal SUCCESS RATE — EE within
+5 cm of the goal arm position AND the reference's all-or-nothing play
+threshold test on the 11-D scene part (playRewardFunc.py:16-77) — must be
+at least 3x the play-process baseline and >=0.15 absolute. Distance
+ratios are kept as secondary floors. This is the capability claim of the
+learn/ stack (the reference exists to feed learning_from_play, reference
+README.md:2-10) — loss-goes-down alone (tests/test_lfp.py) shows nothing.
 """
 import json
 import os
@@ -39,10 +39,21 @@ def test_lfp_artifact_provenance(artifact):
     meta = artifact["meta"]
     assert meta["episodes"] >= 64, meta
     assert meta["window"] >= 8, meta
+    assert meta.get("actor") == "play_policy.make_play_actor", meta
+
+
+def test_lfp_window_goal_success(artifact):
+    """The headline capability floor: policy success >= 0.15 absolute and
+    >= 3x the play-process baseline at window goals."""
+    pol = artifact["policy"]["success_rate_any"]
+    rnd = artifact["random"]["success_rate_any"]
+    assert pol >= 0.15, (
+        f"policy window-goal success {pol:.3f} < 0.15 absolute floor")
+    assert pol >= 3.0 * rnd, (
+        f"policy success {pol:.3f} < 3x baseline {rnd:.3f}")
 
 
 def test_lfp_policy_beats_random(artifact):
-    # measured (LFP_EVAL.json, real chip): ratio 0.79, EE 0.394 vs 0.474 m
     ratio = artifact["final_dist_ratio_policy_over_random"]
     assert ratio <= 0.85, (
         f"trained policy final-goal distance is {ratio:.3f}x random — "

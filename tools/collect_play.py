@@ -38,8 +38,11 @@ def _write_fields_sidecar(out_path: str, fields):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="UR5PlayAbsRPY1Obj-v0")
-    ap.add_argument("--policy", choices=["random", "mppi"],
-                    default="random")
+    ap.add_argument("--policy", choices=["play", "random", "mppi"],
+                    default="play",
+                    help="play = structured EE-wander teleop analogue "
+                         "(learn/play_policy.py, the LfP data source); "
+                         "random = legacy raw-box AR(1); mppi = planner")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--out", default="/tmp/play.elog")
@@ -61,20 +64,32 @@ def main():
     PUBLIC = ("obs_quat", "achieved_goal", "desired_goal",
               "full_positional_state")
 
-    if args.policy == "random":
+    if args.policy in ("play", "random"):
+        from roboticsplayroompybullet_tpu.learn import play_policy
+
         use_fused = m.cfg.num_objects > 0 and B % 1024 == 0
         stepB = fused.make_fused_batched_step(m) if use_fused \
             else (lambda s, a: R.batched_step(m, s, a)[0])
 
-        def collect(states, key):
-            """scan T steps: AR(1) play actions + per-step obs capture."""
-            high = jnp.asarray(m.cfg.action_high)
+        high = jnp.asarray(m.cfg.action_high)
+        if args.policy == "play":
+            a_init, a_step = play_policy.make_play_actor(m)
+        else:
+            # legacy raw-box AR(1) (kept for comparison runs)
+            def a_init(key, n):
+                return jnp.zeros((n, A))
 
-            def body(carry, k):
-                st, tail = carry
+            def a_step(tail, k):
                 eps = jax.random.normal(k, (B, A))
                 tail = 0.85 * tail + 0.35 * eps
-                acts = jnp.clip(tail, -high, high)
+                return tail, jnp.clip(tail, -high, high)
+
+        def collect(states, key):
+            """scan T steps: play actions + per-step obs capture."""
+
+            def body(carry, k):
+                st, ast = carry
+                ast, acts = a_step(ast, k)
                 st = stepB(st, acts)
                 obs = jax.vmap(
                     lambda s: calc_obs(m.cfg, m.tree, m.arm, m.scene, s))(st)
@@ -86,11 +101,12 @@ def main():
                                 prev_ag=obs["_prev_ag"],
                                 has_prev=jnp.ones_like(st.has_prev))
                 pub = {key: obs[key] for key in PUBLIC}
-                return (st, tail), (pub, acts)
+                return (st, ast), (pub, acts)
 
+            key, ka = jax.random.split(key)
             keys = jax.random.split(key, T)
             (st, _), (obs, acts) = jax.lax.scan(
-                body, (states, jnp.zeros((B, A))), keys)
+                body, (states, a_init(ka, B)), keys)
             return st, obs, acts
 
         rng, k0, k1 = jax.random.split(rng, 3)

@@ -6,16 +6,23 @@ purpose, reference README.md:2-10): collect play (tools/collect_play.py)
 goals replayed closed-loop in the simulator.
 
 Protocol (pure hindsight, no state injection): reset N fresh envs; from
-each start state roll the SAME smooth AR(1) random play process the data
-was collected with for W steps and take the final `full_positional_state`
-as the goal — reachable from the start by construction, exactly the
-window-relabel target the policy was trained on. Then, from the SAME
-start states (the immutable EnvState pytree IS the checkpoint —
-utils/checkpoint.py would round-trip it exactly, unlike the reference's
-obs-vector injection whose index-11 object quirk and missing articulation
-state cannot restore a play scene, environments.py:519-556), roll (a) the
-policy conditioned on those goals and (b) an INDEPENDENT random rollout,
-and compare final goal distances.
+each start state roll the SAME structured play process the data was
+collected with (learn/play_policy.py) for W steps and take the final
+`full_positional_state` as the goal — reachable from the start by
+construction, exactly the window-relabel target the policy was trained
+on. Then, from the SAME start states (the immutable EnvState pytree IS
+the checkpoint — utils/checkpoint.py would round-trip it exactly, unlike
+the reference's obs-vector injection whose index-11 object quirk and
+missing articulation state cannot restore a play scene,
+environments.py:519-556), roll (a) the policy conditioned on those goals
+and (b) an INDEPENDENT play-process rollout, and compare.
+
+Headline metric (VERDICT r4 item 5): window-goal SUCCESS RATE — an
+episode succeeds if at any step the EE is within 5 cm of the goal's arm
+position AND the 11-D play achieved goal passes the reference's
+all-or-nothing threshold test against the goal's scene part
+(playRewardFunc.py:16-77 via envs/rewards.compute_reward). Distance
+ratios are kept as secondary diagnostics.
 
 Goal space: `full_positional_state` (arm pos+orn+grip ⊕ 11-D play
 achieved goal) — the same vector kind the reference's sub-goal machinery
@@ -66,14 +73,15 @@ def main(argv=None):
 
     from roboticsplayroompybullet_tpu.envs.config import CATALOG
     from roboticsplayroompybullet_tpu.envs import core
-    from roboticsplayroompybullet_tpu.learn import lfp
+    from roboticsplayroompybullet_tpu.envs.rewards import compute_reward
+    from roboticsplayroompybullet_tpu.learn import lfp, play_policy
     from roboticsplayroompybullet_tpu.parallel.rollout import batched_reset
     from roboticsplayroompybullet_tpu.utils.checkpoint import load_pytree
 
     m = core.build_model(CATALOG[args.env])
     N, W = args.episodes, args.window
     A = m.cfg.action_dim
-    high = jnp.asarray(m.cfg.action_high, jnp.float32)
+    nag = m.cfg.ag_dim
 
     keys = jax.random.split(jax.random.PRNGKey(args.seed), N)
     states0, obs0 = jax.jit(lambda k: batched_reset(m, k))(keys)
@@ -86,37 +94,56 @@ def main(argv=None):
         hidden=tuple(args.hidden))   # must match tools/train_lfp.py
     params = load_pytree(args.params, params0)
 
+    a_init, a_step = play_policy.make_play_actor(m)
+
     def run(policy_mode: bool, goals, seed: int):
-        """Roll W steps from states0; returns per-step goal-field values
-        (W, N, goal_dim). policy_mode=False: the collector's AR(1) play
-        process (tools/collect_play.py)."""
+        """Roll W steps from states0; returns per-step
+        (goal-field (W, N, goal_dim), achieved_goal (W, N, nag)).
+        policy_mode=False: the collector's play process
+        (learn/play_policy.py, same distribution as the training data)."""
         def body(carry, k):
-            st, obs, tail = carry
+            st, obs, ast = carry
             if policy_mode:
                 acts = policy.apply(params, obs[args.obs_field], goals)
             else:
-                eps = jax.random.normal(k, (N, A))
-                tail = 0.85 * tail + 0.35 * eps
-                acts = jnp.clip(tail, -high, high)
+                ast, acts = a_step(ast, k)
             st, obs, _, _ = jax.vmap(lambda s, a: core.step(m, s, a))(st,
                                                                       acts)
-            return (st, obs, tail), obs[args.goal_field]
+            return (st, obs, ast), (obs[args.goal_field],
+                                    obs["achieved_goal"])
 
         ks = jax.random.split(jax.random.PRNGKey(seed), W)
-        _, gs = jax.lax.scan(body, (states0, obs0, jnp.zeros((N, A))), ks)
-        return gs
+        _, (gs, ags) = jax.lax.scan(
+            body, (states0, obs0, a_init(jax.random.PRNGKey(seed + 77), N)),
+            ks)
+        return gs, ags
 
     run_j = jax.jit(run, static_argnums=(0, 2))
 
-    # hindsight goals: final full_positional_state of a random play window
-    goals = run_j(False, jnp.zeros((N, goal_dim)), args.seed + 1)[-1]
+    # hindsight goals: final full_positional_state of a play window
+    goals = run_j(False, jnp.zeros((N, goal_dim)), args.seed + 1)[0][-1]
+    goal_ag = np.asarray(goals)[:, goal_dim - nag:]      # 11-D scene part
+    goal_ee = np.asarray(goals)[:, 0:3]
 
-    def score(gs):
-        d = np.linalg.norm(np.asarray(gs) - np.asarray(goals)[None],
-                           axis=-1)                       # (W, N)
-        ee = np.linalg.norm(np.asarray(gs)[..., 0:3]
-                            - np.asarray(goals)[None, :, 0:3], axis=-1)
+    # per-step play-threshold pass on the scene part (the reference's
+    # all-or-nothing success test, playRewardFunc.py:16-77)
+    play_ok_fn = jax.jit(jax.vmap(jax.vmap(
+        lambda a, g: compute_reward(m.cfg, a, g) >= 0.0,
+        in_axes=(0, 0)), in_axes=(0, None)))
+
+    def score(outs):
+        gs, ags = outs
+        gs, ags = np.asarray(gs), np.asarray(ags)
+        d = np.linalg.norm(gs - np.asarray(goals)[None], axis=-1)  # (W, N)
+        ee = np.linalg.norm(gs[..., 0:3] - goal_ee[None], axis=-1)
+        play_ok = np.asarray(play_ok_fn(jnp.asarray(ags),
+                                        jnp.asarray(goal_ag)))    # (W, N)
+        succ = (ee < 0.05) & play_ok                              # (W, N)
         return {
+            "success_rate_any": float(succ.any(axis=0).mean()),
+            "success_rate_final": float(succ[-1].mean()),
+            "ee_within_5cm_any": float((ee < 0.05).any(axis=0).mean()),
+            "play_ok_final": float(play_ok[-1].mean()),
             "final_dist_mean": float(d[-1].mean()),
             "final_dist_median": float(np.median(d[-1])),
             "best_dist_mean": float(d.min(axis=0).mean()),
@@ -124,7 +151,7 @@ def main(argv=None):
         }
 
     res_pol = score(run_j(True, jnp.asarray(goals), args.seed + 2))
-    # independent random rollout (NOT the goal-generating one)
+    # independent play-process rollout (NOT the goal-generating one)
     res_rnd = score(run_j(False, jnp.zeros((N, goal_dim)), args.seed + 3))
     ratio = res_pol["final_dist_mean"] / max(res_rnd["final_dist_mean"],
                                              1e-9)
@@ -132,10 +159,14 @@ def main(argv=None):
         "meta": {"env": args.env, "episodes": N, "window": W,
                  "hidden": args.hidden, "seed": args.seed,
                  "obs_field": args.obs_field, "goal_field": args.goal_field,
+                 "actor": "play_policy.make_play_actor",
                  "platform": jax.default_backend()},
         "policy": res_pol,
         "random": res_rnd,
         "final_dist_ratio_policy_over_random": round(ratio, 4),
+        "success_ratio_policy_over_random": round(
+            res_pol["success_rate_any"]
+            / max(res_rnd["success_rate_any"], 1e-9), 2),
     }
     path = args.out or os.path.join(os.path.dirname(__file__), "..",
                                     "LFP_EVAL.json")

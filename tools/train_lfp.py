@@ -76,10 +76,10 @@ def main():
     step = jax.jit(lfp.make_train_step(policy, tx))
 
     rng = np.random.default_rng(args.seed)
+    sampler = lfp.make_memory_sampler(reader, fields=tuple(args.fields))
     t0 = time.time()
     for i in range(args.steps):
-        batch = lfp.sample_lfp_batch(reader, rng, args.batch, args.window,
-                                     fields=tuple(args.fields))
+        batch = sampler(rng, args.batch, args.window)
         params, opt_state, loss = step(params, opt_state, batch)
         if i % 100 == 0 or i == args.steps - 1:
             print(f"step {i:5d}  loss {float(loss):.5f}  "
