@@ -32,8 +32,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--families", nargs="+",
                     default=["reach", "block", "drawer", "door", "button",
-                             "dial"])
+                             "dial", "pick"])
     ap.add_argument("--env", default="UR5PlayAbsRPY1Obj-v0")
+    ap.add_argument("--panda-env", default="pandaPlayAbsRPY1Obj-v0",
+                    help="second play sweep on the Panda arm; results are "
+                         "prefixed panda_ (pass --panda-families '' to skip)")
+    ap.add_argument("--panda-families", nargs="*",
+                    default=["block", "drawer", "door", "button", "dial"])
     ap.add_argument("--episodes", type=int, default=16)
     ap.add_argument("--n-envs", type=int, default=4)
     ap.add_argument("--steps", type=int, default=50)
@@ -62,9 +67,20 @@ def main(argv=None):
         n_episodes=args.episodes, n_envs=args.n_envs, n_steps=args.steps,
         seed=args.seed, backend=args.backend, n_substeps=args.substeps,
         verbose=True)
+    # Panda-arm closed-loop sweep (VERDICT r4 item 1): same goal families
+    # against the Panda playroom; keys prefixed panda_ in EVAL.json.
+    if args.panda_env and args.panda_families:
+        panda = sol.run_eval(
+            tuple(args.panda_families), env_id=args.panda_env, mpc=mpc,
+            n_episodes=args.episodes, n_envs=args.n_envs,
+            n_steps=args.steps, seed=args.seed, backend=args.backend,
+            n_substeps=args.substeps, verbose=True)
+        results.update({f"panda_{k}": v for k, v in panda.items()})
 
     meta = {
         "env": args.env,
+        "panda_env": args.panda_env if args.panda_families else None,
+        "pick_env": "pandaPick-v0" if "pick" in args.families else None,
         "mpc": {"horizon": args.horizon, "pop": args.pop,
                 "iters": args.iters, "sigma": args.sigma,
                 "algorithm": "mppi",
