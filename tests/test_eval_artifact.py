@@ -23,8 +23,8 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 PATH = os.path.join(ROOT, "EVAL.json")
 
 # family -> minimum success rate (fraction of episodes solved at any step).
-# Measured rates (EVAL.md, real chip, seed 0): reach 0.88, block 0.75,
-# drawer/door/button 1.00, dial 0.88; floors sit ~half that.
+# UR5 floors sit ~half the measured rates (EVAL.md, real chip, seed 0);
+# panda floors are set after the r5 panda sweep (EVAL.md panda table).
 FLOORS = {
     "reach": 0.60,
     "block": 0.375,
@@ -32,6 +32,16 @@ FLOORS = {
     "door": 0.60,
     "button": 0.60,
     "dial": 0.60,
+    # Panda-arm closed-loop rows (VERDICT r4 item 1)
+    "panda_block": 0.375,
+    "panda_drawer": 0.60,
+    "panda_door": 0.60,
+    "panda_button": 0.60,
+    "panda_dial": 0.375,
+    # two-phase pick controller (solver/eval.py::eval_pick): grasp
+    # acquisition succeeds ~50-60% at workspace corners (DLS
+    # orientation/position tradeoff, documented there) — floor honest
+    "pick": 0.25,
 }
 
 
@@ -53,6 +63,9 @@ def test_eval_artifact_provenance(artifact):
     assert meta["env"] == "UR5PlayAbsRPY1Obj-v0", meta
     assert meta["mpc"]["pop"] >= 1024, meta
     assert meta["n_episodes"] >= 8, meta
+    # the Panda closed-loop sweep must be present (VERDICT r4 item 1)
+    assert meta.get("panda_env") == "pandaPlayAbsRPY1Obj-v0", meta
+    assert meta.get("pick_env") == "pandaPick-v0", meta
 
 
 @pytest.mark.parametrize("family", sorted(FLOORS))
