@@ -352,23 +352,26 @@ def eval_family(m: EnvModel, mpc: MPCConfig, family: str, *,
 def eval_pick(m: EnvModel, mpc: MPCConfig, *, n_episodes: int, n_envs: int,
               n_steps: int, seed: int = 0, backend: str = "pallas",
               interpret: bool = False, n_substeps: Optional[int] = None,
-              step_fn=None, acquire_budget: int = 45,
+              step_fn=None, acquire_budget: int = 70,
               verbose: bool = False) -> Dict:
     """Two-phase pick controller for pandaPick-v0 (reward
     environments.py:290-304): a scripted GRASP-ACQUISITION option driven
     by feedback on the observed block pose (the closed-loop analogue of
-    the scripted grasp test, tests/test_env.py:223-250 — hover over the
-    block, descend, close), then the fused MPC planner CARRIES the held
-    block to the sampled 3-D goal (carry-phase pick cost: always-near
-    grasp shaping keeps the grip closed, goal tracking does the rest).
+    the scripted grasp test, tests/test_env.py:223-250 — lift clear of
+    the table, hover, staged descend with xy-abort, close, then a
+    TEST-LIFT verification: if the block does not rise the grasp missed
+    and the env gets one full retry), then the fused MPC planner CARRIES
+    the held block to the sampled 3-D goal (carry-phase pick cost:
+    always-near grasp shaping keeps the grip closed, goal tracking does
+    the rest).
 
     Pure sampling MPC with a 10-step preview discovers pushes but not
     grasps (measured: <=3/8 across the r5 shaping sweep — the grasp's
     payoff sits beyond the preview). Hierarchical option + MPC is the
     standard fix and everything here remains our solver subsystem; the
     physics/ env are untouched. Success: block within sparse_rew_thresh
-    of the goal at ANY control step (acquire + carry share the n_steps
-    budget)."""
+    of the goal at ANY control step (up to acquire_budget acquire steps,
+    then n_steps carry steps)."""
     assert n_episodes % n_envs == 0, (n_episodes, n_envs)
     from ..ops import kinematics as K
     from ..ops import dynamics as dyn
@@ -412,6 +415,10 @@ def eval_pick(m: EnvModel, mpc: MPCConfig, *, n_episodes: int, n_envs: int,
         first = np.full(n_envs, -1, int)
         phase = np.zeros(n_envs, int)
         close_ctr = np.zeros(n_envs, int)
+        lift_ctr = np.zeros(n_envs, int)
+        z_at_test = np.zeros(n_envs, np.float32)
+        retried = np.zeros(n_envs, bool)
+        hold_pos = np.zeros((n_envs, 3), np.float32)
         # stall-triggered integral compensation: the DLS servo sometimes
         # plateaus short of the target (orientation/position tradeoff —
         # measured offsets up to ~15 cm at workspace corners). A plain
@@ -423,7 +430,7 @@ def eval_pick(m: EnvModel, mpc: MPCConfig, *, n_episodes: int, n_envs: int,
         prev_ee = None
         t = 0
         # ---- phase A: scripted grasp acquisition (feedback) ----
-        while t < acquire_budget and (phase < 4).any():
+        while t < acquire_budget and (phase < 5).any():
             blk = np.asarray(states.obj_pos[:, 0])
             ee = ee_of(states)
             a = np.zeros((n_envs, A), np.float32)
@@ -451,12 +458,33 @@ def eval_pick(m: EnvModel, mpc: MPCConfig, *, n_episodes: int, n_envs: int,
                         phase[i] = 1
                     elif exy < 0.02 and ee[i, 2] < bz + 0.03:
                         phase[i] = 3
-                else:                       # close (and hold)
+                elif phase[i] == 3:         # close
                     tgt = np.array([bx, by, bz + 0.008], np.float32)
                     grip = 1.0
                     close_ctr[i] += 1
                     if close_ctr[i] >= 10:
                         phase[i] = 4
+                        lift_ctr[i] = 0
+                        z_at_test[i] = bz
+                elif phase[i] == 4:         # VERIFY: test-lift 4 cm — if
+                    grip = 1.0              # the block doesn't rise, the
+                    tgt = np.array(         # grasp missed; retry once
+                        [bx, by, z_at_test[i] + 0.05], np.float32)
+                    lift_ctr[i] += 1
+                    if bz > z_at_test[i] + 0.012:
+                        phase[i] = 5        # verified grasp
+                        hold_pos[i] = ee[i]
+                    elif lift_ctr[i] >= 8:
+                        if not retried[i]:
+                            retried[i] = True
+                            phase[i] = 0    # reopen, full second attempt
+                            close_ctr[i] = 0
+                        else:
+                            phase[i] = 5    # give up verifying; carry on
+                            hold_pos[i] = ee[i]
+                else:                       # verified: hold a FIXED pose —
+                    tgt = hold_pos[i]       # tracking the block would feed
+                    grip = 1.0              # slippage back into a descent
                 err = tgt - ee[i]
                 moving = (prev_ee is None
                           or np.linalg.norm(ee[i] - prev_ee[i]) > 0.005)
@@ -492,7 +520,7 @@ def eval_pick(m: EnvModel, mpc: MPCConfig, *, n_episodes: int, n_envs: int,
         solve_steps.extend(first.tolist())
         if verbose:
             print(f"  pick batch {ep}: {ok.astype(int).tolist()} "
-                  f"(acquired {int((phase >= 4).sum())}/{n_envs} "
+                  f"(acquired {int((phase >= 5).sum())}/{n_envs} "
                   f"in {t} steps)", flush=True)
     wall = time.perf_counter() - t_start
     succ = np.asarray(succ)
